@@ -1,0 +1,291 @@
+"""Pallas TPU kernels for the splat/gather operators.
+
+TPU-first design notes
+----------------------
+
+The three hot ops (reference: src/kernel_weighting.cpp, src/scatter2gather.cpp
+— Halide generators with CUDA/CPU schedules) are all per-pixel stencils over a
+``k x k`` tap window with per-pixel weights, so the FLOPs are VPU work (no
+shared operand to feed the MXU) and the speed of light is HBM bandwidth on the
+``k^2``-plane kernel tensor. The kernels below are structured accordingly:
+
+- Layout is *spatial-last* (``[bs, c, h, w]`` / ``[bs, k2, h, w]``) so that
+  the (8, 128) VPU tiles map onto image rows/columns, not onto the tiny
+  3-channel radiance axis.
+- The grid is ``(bs, h/TH, w/TW)``; each step streams the full
+  ``(k^2, TH, TW)`` weight block for its tile through VMEM exactly once
+  (double-buffered by the Pallas pipeline) — that block is the dominant HBM
+  stream and is read/written exactly once, which is the bandwidth lower bound
+  of the algorithm.
+- The shifted ``data`` window (a halo band) is fetched with an explicit async
+  DMA from an ``ANY``-space operand. Mosaic requires sublane-aligned slice
+  offsets, so the DMA fetches ``(C, RH, RW)`` with ``RH/RW`` rounded up to
+  the (8, 128) tile and all tap shifts are applied as *static* in-kernel
+  slices (a fully unrolled ``k^2`` tap loop -> lane/sublane shifts, no
+  dynamic-offset addressing anywhere). Over-fetch on the data stream is
+  negligible: it is ``C=3`` planes vs ``k^2=441`` weight planes.
+
+All kernels compute in float32 (radiance accumulation precision).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "kernel_weighting_fwd_pallas",
+    "kernel_weighting_dw_pallas",
+    "scatter2gather_pallas",
+]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pick_blocks(h, w, block_h, block_w):
+    """(TH, TW) tile sizes aligned to the f32 (8, 128) vector tile."""
+    if block_h is None:
+        block_h = 8
+    if block_w is None:
+        block_w = 128 if w <= 256 else 256
+    return block_h, block_w
+
+
+def _ksize(k2):
+    k = int(round(k2 ** 0.5))
+    if k * k != k2 or k % 2 == 0:
+        raise ValueError(f"tap count {k2} must be an odd square")
+    return k
+
+
+def _pad_halo(x, o, hp, wp, rh, rw, th, tw):
+    """Zero-pad ``x`` (spatial-last) so that for every tile origin
+    ``(iy*TH, ix*TW)`` the aligned window ``[iy*TH : iy*TH+RH,
+    ix*TW : ix*TW+RW]`` is in bounds and centered: padded[o + y] = x[y]."""
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2)
+    pad.append((o, hp - th + rh - (h + o)))
+    pad.append((o, wp - tw + rw - (w + o)))
+    return jnp.pad(x, pad)
+
+
+# ---------------------------------------------------------------------------
+# kernel_weighting forward
+# ---------------------------------------------------------------------------
+
+def _kw_fwd_kernel(dp_ref, w_ref, out_ref, sw_ref, scratch, sem, *,
+                   K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    cp = pltpu.make_async_copy(
+        dp_ref.at[n, :, pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+        scratch, sem)
+    cp.start()
+
+    w = w_ref[0]  # (K2, TH, TW)
+    sw_ref[0] = jnp.sum(w, axis=0)
+
+    cp.wait()
+    c = scratch.shape[0]
+    acc = jnp.zeros((c, TH, TW), jnp.float32)
+    for dy in range(K):
+        band = scratch[:, dy:dy + TH, :]  # (C, TH, RW), static offset
+        for dx in range(K):
+            acc += w[dy * K + dx][None] * band[:, :, dx:dx + TW]
+    out_ref[0] = acc
+
+
+def kernel_weighting_fwd_pallas(data, weights, *, block_h=None, block_w=None,
+                                interpret=False):
+    """Forward kernel weighting on TPU.
+
+    Args:
+      data: ``[bs, c, h, w]`` float32.
+      weights: ``[bs, k2, h, w]`` float32, tap ``i = dy*k + dx``.
+
+    Returns:
+      ``(output [bs, c, h, w], sum_w [bs, h, w])``.
+    """
+    bs, c, h, w = data.shape
+    k2 = weights.shape[1]
+    K = _ksize(k2)
+    o = (K - 1) // 2
+    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    RH = _round_up(TH + K - 1, 8)
+    RW = _round_up(TW + K - 1, 128)
+
+    dp = _pad_halo(data, o, hp, wp, RH, RW, TH, TW)
+    wts = jnp.pad(weights, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    grid = (bs, hp // TH, wp // TW)
+    out, sum_w = pl.pallas_call(
+        functools.partial(_kw_fwd_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, k2, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), lambda n, iy, ix: (n, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bs, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(dp, wts)
+    return out[:, :, :h, :w], sum_w[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# kernel_weighting d_weights
+# ---------------------------------------------------------------------------
+
+def _kw_dw_kernel(dp_ref, dout_ref, dsw_ref, dw_ref, scratch, sem, *,
+                  K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    cp = pltpu.make_async_copy(
+        dp_ref.at[n, :, pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+        scratch, sem)
+    cp.start()
+    dout = dout_ref[0]  # (C, TH, TW)
+    dsw = dsw_ref[0]    # (TH, TW)
+    cp.wait()
+    for dy in range(K):
+        band = scratch[:, dy:dy + TH, :]
+        for dx in range(K):
+            dw_ref[0, dy * K + dx] = dsw + jnp.sum(
+                band[:, :, dx:dx + TW] * dout, axis=0)
+
+
+def kernel_weighting_dw_pallas(data, d_output, d_sum_w, k2, *, block_h=None,
+                               block_w=None, interpret=False):
+    """``d_weights`` of kernel weighting (reference:
+    src/kernel_weighting.cpp:107-117).
+
+    ``d_weights[n, dy*k+dx, y, x] = d_sum_w[n, y, x] +
+    sum_c data_pad[n, c, y+dy-o, x+dx-o] * d_output[n, c, y, x]``.
+
+    Returns:
+      ``d_weights [bs, k2, h, w]``.
+    """
+    bs, c, h, w = data.shape
+    K = _ksize(k2)
+    o = (K - 1) // 2
+    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    RH = _round_up(TH + K - 1, 8)
+    RW = _round_up(TW + K - 1, 128)
+
+    dp = _pad_halo(data, o, hp, wp, RH, RW, TH, TW)
+    dout = jnp.pad(d_output, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    dsw = jnp.pad(d_sum_w, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    grid = (bs, hp // TH, wp // TW)
+    dw = pl.pallas_call(
+        functools.partial(_kw_dw_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), lambda n, iy, ix: (n, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k2, TH, TW),
+                               lambda n, iy, ix: (n, 0, iy, ix),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, k2, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(dp, dout, dsw)
+    return dw[:, :, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# scatter2gather
+# ---------------------------------------------------------------------------
+
+def _s2g_kernel(wp_ref, out_ref, scratch, sems, *, K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    def fetch(dy, slot):
+        # Source taps for output tap row dy are the flipped row (K-1-dy);
+        # tap-dim offsets are on an untiled dim so dynamic values are fine,
+        # spatial offsets are tile-aligned (reference:
+        # src/scatter2gather.cpp:40-47).
+        return pltpu.make_async_copy(
+            wp_ref.at[n, pl.ds((K - 1 - dy) * K, K),
+                      pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+            scratch.at[slot], sems.at[slot])
+
+    fetch(0, 0).start()
+    for dy in range(K):
+        slot = dy % 2
+        if dy + 1 < K:
+            fetch(dy + 1, 1 - slot).start()
+        fetch(dy, slot).wait()
+        for dx in range(K):
+            out_ref[0, dy * K + dx] = \
+                scratch[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
+
+
+def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
+                          interpret=False):
+    """Transpose splat kernels into gather kernels on TPU.
+
+    Args:
+      weights: ``[bs, k2, h, w]`` float32.
+
+    Returns:
+      ``[bs, k2, h, w]`` gather kernels.
+    """
+    bs, k2, h, w = weights.shape
+    K = _ksize(k2)
+    o = (K - 1) // 2
+    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    RH = _round_up(TH + K - 1, 8)
+    RW = _round_up(TW + K - 1, 128)
+
+    wpad = _pad_halo(weights, o, hp, wp, RH, RW, TH, TW)
+
+    grid = (bs, hp // TH, wp // TW)
+    out = pl.pallas_call(
+        functools.partial(_s2g_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, k2, TH, TW),
+                               lambda n, iy, ix: (n, 0, iy, ix),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, k2, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(wpad)
+    return out[:, :, :h, :w]

@@ -1,0 +1,154 @@
+"""Training-stack tests: compiled train step, NaN guard, checkpointing,
+data-parallel mesh (8 virtual CPU devices), and the full trainer loop on a
+tiny synthetic dataset."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbmc_tpu import ops
+from sbmc_tpu.models import Multisteps
+from sbmc_tpu.parallel.mesh import make_mesh, shard_batch
+from sbmc_tpu.train import (Checkpointer, DenoiserInterface, Trainer,
+                            TrainState)
+
+ops.set_backend("xla")
+
+
+def _batch(rng, bs=1, spp=2, nf=8, ngf=3, h=16, w=16):
+    return {
+        "radiance": rng.rand(bs, spp, 3, h, w).astype(np.float32),
+        "features": rng.rand(bs, spp, nf, h, w).astype(np.float32),
+        "global_features": rng.rand(bs, ngf, 1, 1).astype(np.float32),
+        "target_image": rng.rand(bs, 3, h, w).astype(np.float32),
+    }
+
+
+def _small_interface(mesh=None, lr=1e-3):
+    model = Multisteps(n_features=8, n_global_features=3, width=8,
+                       embedding_width=8, ksize=3, nsteps=1)
+    return DenoiserInterface(model, lr=lr, mesh=mesh)
+
+
+class TestInterface:
+    def test_train_step_decreases_loss(self, rng):
+        iface = _small_interface(lr=1e-2)
+        b = _batch(rng)
+        state = iface.init(jax.random.PRNGKey(0), b)
+        losses = []
+        for _ in range(10):
+            state, metrics = iface.train_step(state, b)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(np.asarray(state.step)) == 10
+
+    def test_nan_guard(self):
+        with pytest.raises(RuntimeError):
+            DenoiserInterface.check_finite({"loss": float("nan")})
+        with pytest.raises(RuntimeError):
+            DenoiserInterface.check_finite({"loss": float("inf")})
+        DenoiserInterface.check_finite({"loss": 1.0})
+
+    def test_eval_step(self, rng):
+        iface = _small_interface()
+        b = _batch(rng)
+        state = iface.init(jax.random.PRNGKey(0), b)
+        m = iface.eval_step(state.params, b)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_alternative_losses(self, rng):
+        for loss in ["relative_mse", "smape", "tonemapped_mse"]:
+            iface = _small_interface()
+            iface2 = DenoiserInterface(iface.model, loss=loss)
+            b = _batch(rng)
+            state = iface2.init(jax.random.PRNGKey(0), b)
+            state, m = iface2.train_step(state, b)
+            assert np.isfinite(float(m["loss"]))
+
+
+class TestDataParallel:
+    def test_sharded_train_step_matches_single(self, rng):
+        """The data-parallel step over an 8-device mesh must produce the same
+        update as the single-device step on the same global batch."""
+        assert jax.device_count() >= 8, "conftest should force 8 cpu devices"
+        b = _batch(rng, bs=8)
+
+        iface1 = _small_interface()
+        state1 = iface1.init(jax.random.PRNGKey(0), b)
+        state1, m1 = iface1.train_step(state1, b)
+
+        mesh = make_mesh(8)
+        iface8 = DenoiserInterface(iface1.model, mesh=mesh)
+        state8 = iface8.init(jax.random.PRNGKey(0), b)
+        state8, m8 = iface8.train_step(state8, b)
+
+        assert np.isclose(float(m1["loss"]), float(m8["loss"]), atol=1e-5)
+        for a, c in zip(jax.tree.leaves(state1.params),
+                        jax.tree.leaves(state8.params)):
+            assert np.allclose(np.array(a), np.array(c), atol=1e-5)
+
+    def test_shard_batch_places_data(self, rng):
+        mesh = make_mesh(8)
+        b = shard_batch(_batch(rng, bs=8), mesh)
+        shard_shapes = [s.data.shape for s in b["features"].addressable_shards]
+        assert all(s[0] == 1 for s in shard_shapes)
+        assert len(shard_shapes) == 8
+
+
+class TestCheckpointer:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        iface = _small_interface()
+        b = _batch(rng)
+        state = iface.init(jax.random.PRNGKey(0), b)
+        state, _ = iface.train_step(state, b)
+
+        ckpt = Checkpointer(str(tmp_path / "ckpt"),
+                            meta={"model_params": {"ksize": 3}})
+        ckpt.save(state, 1)
+        template = iface.init(jax.random.PRNGKey(1), b)
+        restored, step = ckpt.load_latest(template)
+        assert step == 1
+        for a, c in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.array(a), np.array(c))
+        meta = Checkpointer.load_meta(str(tmp_path / "ckpt"))
+        assert meta["model_params"]["ksize"] == 3
+
+    def test_rotation_and_tag(self, tmp_path, rng):
+        iface = _small_interface()
+        b = _batch(rng)
+        state = iface.init(jax.random.PRNGKey(0), b)
+        ckpt = Checkpointer(str(tmp_path / "c"), meta={}, max_files=2)
+        for s in range(5):
+            ckpt.save(state, s)
+        ckpt.save(state, 5, tag="final")
+        files = sorted(os.listdir(str(tmp_path / "c")))
+        steps = [f for f in files if f.startswith("ckpt_")]
+        assert len(steps) == 2
+        assert "final.msgpack" in files
+        _, step = ckpt.load_latest(state)
+        assert step == 5
+
+    def test_load_empty_returns_none(self, tmp_path, rng):
+        iface = _small_interface()
+        b = _batch(rng)
+        state = iface.init(jax.random.PRNGKey(0), b)
+        ckpt = Checkpointer(str(tmp_path / "nope"))
+        restored, step = ckpt.load_latest(state)
+        assert step is None
+
+
+class TestTrainer:
+    def test_full_loop(self, rng, tmp_path):
+        iface = _small_interface(lr=1e-2)
+        batches = [_batch(rng) for _ in range(4)]
+        state = iface.init(jax.random.PRNGKey(0), batches[0])
+        trainer = Trainer(iface)
+        state = trainer.train(state, batches, num_epochs=2,
+                              val_dataloader=batches[:2])
+        assert int(np.asarray(state.step)) == 8
+        val = trainer.validate(state, batches[:2])
+        assert np.isfinite(val["loss"]) and val["n"] == 2
