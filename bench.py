@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-frame 1080p denoise throughput at 4 spp on one
+chip (the BASELINE.json north-star metric), using the reference's tiled
+inference protocol (scripts/denoise.py: overlap-tiled full frames,
+wall-clock with device-sync fences).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline``
+is computed against a documented estimate of the reference CUDA/Halide
+pipeline on a V100: the SBMC paper reports multi-second full-frame denoises
+at 1080p-class resolutions; we use 0.5 frames/s as the V100 reference
+point. This constant is an estimate, recorded here for transparency.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from sbmc_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+
+V100_BASELINE_FPS = 0.5  # documented estimate, see module docstring
+
+# Benchmark configuration: flagship model, reference demo-scale inputs.
+H, W = 1080, 1920
+SPP = 4
+N_FEATURES = 93         # all sample features enabled (sbmc mode)
+N_GLOBAL = 3
+TILE_SIZE = 1024
+TILE_PAD = 256
+ITERS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sbmc_tpu.models import Multisteps
+    from sbmc_tpu.parallel.tiles import split_tiles
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "radiance": rng.rand(1, SPP, 3, H, W).astype(np.float32),
+        "features": rng.rand(1, SPP, N_FEATURES, H, W).astype(np.float32),
+        "global_features": rng.rand(1, N_GLOBAL, 1, 1).astype(np.float32),
+    }
+
+    model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL)
+    tiles = split_tiles(batch, max_sz=TILE_SIZE, pad=TILE_PAD)
+
+    params = model.init(jax.random.PRNGKey(0), tiles[0][0])
+    apply_fn = jax.jit(model.apply)
+
+    def denoise_frame():
+        outs = []
+        for tb, *_rest in tiles:
+            outs.append(apply_fn(params, tb)["radiance"])
+        jax.block_until_ready(outs)
+        return outs
+
+    denoise_frame()  # warmup: compile every tile shape
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        denoise_frame()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "1080p_4spp_denoise_frames_per_sec_per_chip",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,15 +95,23 @@ class DenoiserInterface:
         loss, rmse = self._losses(params, batch)
         return {"loss": loss, "rmse": rmse}
 
+    @staticmethod
+    def _arrays_only(batch):
+        """Drop non-array metadata (e.g. file paths) before jit."""
+        return {k: v for k, v in batch.items()
+                if hasattr(v, "ndim") or np.isscalar(v)}
+
     def train_step(self, state, batch):
         """One optimization step. Returns (new_state, metrics dict of jax
         scalars — fetch lazily to keep the pipeline async)."""
+        batch = self._arrays_only(batch)
         if self.mesh is not None:
             from sbmc_tpu.parallel.mesh import shard_batch
             batch = shard_batch(batch, self.mesh)
         return self._train_step(state, batch)
 
     def eval_step(self, params, batch):
+        batch = self._arrays_only(batch)
         if self.mesh is not None:
             from sbmc_tpu.parallel.mesh import shard_batch
             batch = shard_batch(batch, self.mesh)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Denoise rendered samples with a trained model (reference:
+scripts/denoise.py).
+
+Full frames are processed in overlapping tiles (bounding device memory and
+enabling multi-device round-robin); model and dataset configuration are
+reconstructed from the checkpoint meta so no model flags are needed. Wall
+clock is reported with explicit ``block_until_ready`` fences, replicating
+the reference's cuda-synchronized timing protocol
+(scripts/denoise.py:152-165).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from sbmc_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+
+
+def main(args):
+    import jax
+    import imageio.v2 as imageio
+    from sbmc_tpu.data import FullImagesDataset
+    from sbmc_tpu.models.build import build_model
+    from sbmc_tpu.parallel.tiles import merge_tiles, pad_back, split_tiles
+    from sbmc_tpu.train import Checkpointer, DenoiserInterface
+    from sbmc_tpu.utils import exr
+    from sbmc_tpu.utils.logging import get_logger, set_logger
+
+    set_logger(args.verbose)
+    log = get_logger("sbmc_tpu.denoise")
+    start = time.time()
+
+    if not os.path.exists(args.input):
+        raise ValueError("input {} does not exist".format(args.input))
+
+    meta = Checkpointer.load_meta(args.checkpoint)
+    data_params = dict(meta["data_params"])
+    if args.spp:
+        data_params["spp"] = args.spp
+
+    data = FullImagesDataset(args.input, **data_params)
+    kpcn_mode = meta.get("kpcn_mode", False)
+    model = build_model(meta)
+    log.info("Denoising input with %d spp (%s)", data.spp,
+             "KPCN" if kpcn_mode else "SBMC")
+
+    interface = DenoiserInterface(model)
+    checkpointer = Checkpointer(args.checkpoint)
+
+    apply_fn = jax.jit(model.apply)
+
+    first = True
+    for scene_id in range(len(data)):
+        item = data[scene_id]
+        batch = {k: v[None] if isinstance(v, np.ndarray) else v
+                 for k, v in item.items()}
+        scene = os.path.basename(data.get_scene_name(scene_id))
+        log.info("  scene %s", scene)
+        tiles = split_tiles(batch, max_sz=args.tile_size, pad=args.tile_pad)
+
+        if first:
+            # Initialize params with the first tile's shapes and restore.
+            params = model.init(jax.random.PRNGKey(0), tiles[0][0])
+            from sbmc_tpu.train.interface import TrainState
+            import optax
+            state_t = TrainState(params=params,
+                                 opt_state=interface.tx.init(params),
+                                 step=np.zeros((), np.int32))
+            state, step = checkpointer.load_latest(state_t)
+            if step is None:
+                state, step = checkpointer.load_tag(state_t, "final")
+            log.info("Loading latest checkpoint %s",
+                     "failed — using random init" if step is None
+                     else "success")
+            params = state.params
+            log.info("setup time {:.1f} ms".format(
+                (time.time() - start) * 1000))
+            first = False
+
+        canvas = np.zeros_like(np.asarray(batch["low_spp"]))
+        jax.block_until_ready(params)
+        t0 = time.time()
+        outs = []
+        for tb, y0, y1, x0, x1, tilepad in tiles:
+            out = apply_fn(params, tb)["radiance"]
+            outs.append((out, tb, y0, y1, x0, x1, tilepad))
+        merged = []
+        for out, tb, y0, y1, x0, x1, tilepad in outs:
+            out = pad_back(tb, jax.block_until_ready(out))
+            merged.append((out, y0, y1, x0, x1, tilepad))
+        elapsed = (time.time() - t0) * 1000
+        log.info("    denoising time {:.1f} ms".format(elapsed))
+        merge_tiles(canvas, merged)
+
+        out_radiance = canvas[0].transpose(1, 2, 0)
+        outdir = os.path.dirname(args.output)
+        if outdir:
+            os.makedirs(outdir, exist_ok=True)
+        exr.write(args.output, out_radiance)
+        png = args.output.replace(".exr", ".png")
+        imageio.imwrite(
+            png, (np.clip(out_radiance, 0, 1) * 255).astype(np.uint8))
+        log.info("    wrote %s / %s", args.output, png)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", type=str, required=True,
+                        help="folder containing the sample .bin files.")
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="folder containing the model checkpoint.")
+    parser.add_argument("--output", type=str, required=True,
+                        help="output .exr destination.")
+    parser.add_argument("--spp", type=int,
+                        help="number of samples to use as input.")
+    parser.add_argument("--tile_size", type=int, default=512,
+                        help="tile size bounding device memory usage.")
+    parser.add_argument("--tile_pad", type=int, default=128,
+                        help="overlap padding around tiles.")
+    parser.add_argument("--verbose", action="store_true")
+    main(parser.parse_args())

@@ -1,0 +1,16 @@
+#!/usr/bin/env python
+"""Render a .pbrt scene to a .exr image (reference: scripts/render_exr.py).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sbmc_tpu.rendering import PBRTRenderer, PBRTRenderingParser  # noqa: E402
+
+if __name__ == "__main__":
+    parser = PBRTRenderingParser()
+    args = parser.parse_args()
+    renderer = PBRTRenderer(args)
+    renderer.render()

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Train a denoiser (reference: scripts/train.py).
+
+Flags mirror the reference CLI (scripts/train.py:118-150); training runs a
+single compiled data-parallel step over all local devices, with variable-spp
+batches padded + masked so one compiled graph serves every sample count.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from sbmc_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+
+
+def main(args):
+    import jax
+    from sbmc_tpu.data import (Loader, MultiSampleCountDataset, TilesDataset)
+    from sbmc_tpu.models import KPCN, Multisteps
+    from sbmc_tpu.models.build import model_meta
+    from sbmc_tpu.parallel.mesh import make_mesh
+    from sbmc_tpu.train import (Checkpointer, DenoiserInterface, Trainer,
+                                callbacks)
+    from sbmc_tpu.utils.logging import get_logger, set_logger
+
+    set_logger(args.verbose)
+    log = get_logger("sbmc_tpu.train")
+    np.random.seed(0)
+
+    data_args = dict(
+        spp=args.spp,
+        mode=TilesDataset.KPCN_MODE if args.kpcn_mode
+        else TilesDataset.SBMC_MODE,
+        load_coords=not args.dont_use_coords,
+        load_gbuffer=not args.dont_use_gbuffer,
+        load_p=not args.dont_use_p,
+        load_ld=not args.dont_use_ld,
+        load_bt=not args.dont_use_bt,
+    )
+
+    pad_spp = None
+    if args.randomize_spp and not args.kpcn_mode:
+        data = MultiSampleCountDataset(args.data, **data_args)
+        pad_spp = args.spp
+        log.info("Training with randomized sample count (2..%d, padded "
+                 "+ masked to a single compiled shape)", args.spp)
+    else:
+        data = TilesDataset(args.data, **data_args)
+    log.info("Training dataset: %s", data)
+
+    val_data = None
+    if args.val_data:
+        val_data = TilesDataset(args.val_data, **data_args)
+
+    if args.kpcn_mode:
+        log.info("Model: KPCN (gather baseline, [Bako2017])")
+        model_params = dict(n_in=data.num_features, ksize=args.ksize)
+        model = KPCN(**model_params)
+    else:
+        log.info("Model: Multisteps (SBMC), splat=%s", not args.gather)
+        model_params = dict(
+            n_features=data.num_features,
+            n_global_features=data.num_global_features,
+            ksize=args.ksize, splat=not args.gather, pixel=args.pixel)
+        model = Multisteps(**model_params)
+
+    mesh = None
+    if jax.device_count() > 1:
+        mesh = make_mesh()
+        log.info("Data-parallel over %d devices", jax.device_count())
+
+    interface = DenoiserInterface(model, lr=args.lr, mesh=mesh)
+
+    meta = model_meta(args.kpcn_mode, model_params, data_args)
+    checkpointer = Checkpointer(args.checkpoint_dir, meta=meta)
+
+    loader = Loader(data, batch_size=args.bs, shuffle=True, pad_spp=pad_spp,
+                    num_threads=args.num_worker_threads)
+    val_loader = None
+    if val_data is not None:
+        val_loader = Loader(val_data, batch_size=args.bs, shuffle=False,
+                            num_threads=args.num_worker_threads)
+
+    first = next(iter(loader))
+    state = interface.init(jax.random.PRNGKey(0), first)
+    state, step = checkpointer.load_latest(state)
+    if step is not None:
+        log.info("Resumed from checkpoint step %s", step)
+
+    cbs = [
+        callbacks.ProgressCallback(interval=args.log_interval),
+        callbacks.CheckpointingCallback(
+            checkpointer, lambda: trainer.state,
+            interval_steps=args.checkpoint_interval),
+        callbacks.ScalarLogCallback(
+            os.path.join(args.checkpoint_dir, "train_log.csv"),
+            interval=args.log_interval),
+    ]
+    if not args.kpcn_mode:
+        cbs.append(callbacks.DenoisingDisplayCallback(
+            interface, lambda: trainer.state, lambda: first,
+            os.path.join(args.checkpoint_dir, "viz")))
+    trainer = Trainer(interface, cbs)
+    trainer.train(state, loader, num_epochs=args.num_epochs,
+                  val_dataloader=val_loader, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("data", help=".bin data folder or filelist .txt")
+    parser.add_argument("checkpoint_dir", help="checkpoint output directory")
+    parser.add_argument("--val_data", help="validation data folder")
+    parser.add_argument("--num_epochs", type=int, default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--bs", type=int, default=1, help="batch size")
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--spp", type=int, default=8,
+                        help="max samples per pixel")
+    parser.add_argument("--ksize", type=int, default=21,
+                        help="kernel size for the predicted kernels")
+    parser.add_argument("--kpcn_mode", action="store_true",
+                        help="train the [Bako2017] KPCN baseline")
+    parser.add_argument("--gather", action="store_true",
+                        help="ablation: use gather kernels instead of splat")
+    parser.add_argument("--pixel", action="store_true",
+                        help="ablation: collapse samples to a 1-spp image")
+    parser.add_argument("--constant_spp", dest="randomize_spp",
+                        action="store_false", default=True,
+                        help="disable randomized sample count")
+    parser.add_argument("--dont_use_coords", action="store_true")
+    parser.add_argument("--dont_use_gbuffer", action="store_true")
+    parser.add_argument("--dont_use_p", action="store_true")
+    parser.add_argument("--dont_use_ld", action="store_true")
+    parser.add_argument("--dont_use_bt", action="store_true")
+    parser.add_argument("--num_worker_threads", type=int, default=4)
+    parser.add_argument("--log_interval", type=int, default=100)
+    parser.add_argument("--checkpoint_interval", type=int, default=1000)
+    parser.add_argument("--verbose", action="store_true")
+    main(parser.parse_args())

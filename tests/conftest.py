@@ -8,14 +8,20 @@ oracle, plus multi-device tests via ``xla_force_host_platform_device_count``).
 
 import os
 
-# Must be set before jax is imported anywhere. The environment may preset
-# JAX_PLATFORMS (e.g. to a TPU plugin platform), so force CPU unless the
-# caller explicitly requests otherwise via SBMC_TEST_PLATFORM.
-os.environ["JAX_PLATFORMS"] = os.environ.get("SBMC_TEST_PLATFORM", "cpu")
+# Must be set before any jax backend initializes. A TPU-plugin
+# sitecustomize may have already forced jax_platforms at interpreter
+# startup, so setting the env var is not enough — override the config
+# explicitly (before any backend is initialized).
+_platform = os.environ.get("SBMC_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,241 @@
+"""Tests for EXR IO, evaluation metrics, tiled inference, scene generation
+and the synthetic sample renderer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sbmc_tpu.utils import exr
+from sbmc_tpu import evaluation
+from sbmc_tpu.parallel.tiles import merge_tiles, pad_back, split_tiles
+
+
+class TestExr:
+    @pytest.mark.parametrize("comp", ["none", "zips", "zip"])
+    @pytest.mark.parametrize("ptype", ["half", "float"])
+    def test_roundtrip(self, tmp_path, rng, comp, ptype):
+        img = (rng.rand(21, 33, 3) * 4).astype(np.float32)
+        p = str(tmp_path / "t.exr")
+        exr.write(p, img, pixel_type=ptype, compression=comp)
+        back = exr.read(p)
+        ref = img if ptype == "float" else img.astype(np.float16)
+        np.testing.assert_array_equal(back, ref.astype(np.float32))
+
+    def test_single_channel(self, tmp_path, rng):
+        img = rng.rand(8, 8).astype(np.float32)
+        p = str(tmp_path / "y.exr")
+        exr.write(p, img, pixel_type="float")
+        assert exr.read(p).shape == (8, 8, 1)
+
+    def test_channel_order(self, tmp_path, rng):
+        """Channels are stored alphabetically but read back as RGB."""
+        img = rng.rand(4, 4, 3).astype(np.float32)
+        p = str(tmp_path / "c.exr")
+        exr.write(p, img, pixel_type="float")
+        chans, _ = exr.read_channels(p)
+        np.testing.assert_array_equal(chans["R"], img[..., 0])
+        np.testing.assert_array_equal(chans["B"], img[..., 2])
+
+    def test_rejects_non_exr(self, tmp_path):
+        p = str(tmp_path / "no.exr")
+        with open(p, "wb") as f:
+            f.write(b"not an exr")
+        with pytest.raises(ValueError):
+            exr.read(p)
+
+
+class TestEvaluation:
+    def test_metrics_zero_when_identical(self, rng):
+        im = rng.rand(32, 32, 3)
+        for k, op in evaluation.METRIC_OPS.items():
+            v = op(im, im)
+            assert v == pytest.approx(0.0, abs=1e-6), k
+
+    def test_mse_value(self):
+        im = np.zeros((8, 8, 3))
+        ref = np.ones((8, 8, 3))
+        assert evaluation.METRIC_OPS["mse"](im, ref) == 1.0
+
+    def test_ssim_decreases_with_noise(self, rng):
+        ref = rng.rand(64, 64, 3)
+        a = evaluation.ssim(ref + rng.normal(0, 0.01, ref.shape), ref)
+        b = evaluation.ssim(ref + rng.normal(0, 0.3, ref.shape), ref)
+        assert a > b
+
+    def test_get_spp(self):
+        assert evaluation._get_spp("4spp_ours") == ("ours", 4)
+        assert evaluation._get_spp("128spp") == ("input", 128)
+        with pytest.raises(ValueError):
+            evaluation._get_spp("no_spp_here")
+
+    def test_compute_and_stats(self, tmp_path, rng):
+        ref_dir = tmp_path / "ref"
+        m_dir = tmp_path / "4spp_ours"
+        os.makedirs(ref_dir)
+        os.makedirs(m_dir)
+        img = rng.rand(64, 64, 3).astype(np.float32)
+        exr.write(str(ref_dir / "scene.exr"), img, pixel_type="float")
+        exr.write(str(m_dir / "scene.exr"),
+                  img + rng.normal(0, 0.05, img.shape).astype(np.float32),
+                  pixel_type="float")
+        csv = str(tmp_path / "scores.csv")
+        scores = evaluation.compute(str(ref_dir), csv, [str(m_dir)],
+                                    ["scene.exr"], pad=4)
+        assert len(scores) == 1
+        assert bool(scores.iloc[0]["valid"])
+        assert scores.iloc[0]["mse"] > 0
+        mean_df, _ = evaluation.stats([csv], str(tmp_path / "stats.csv"))
+        assert len(mean_df) == 1
+
+
+class TestTiles:
+    def test_no_tiling_small_frame(self, rng):
+        batch = {"features": rng.rand(1, 2, 5, 64, 64),
+                 "radiance": rng.rand(1, 2, 3, 64, 64)}
+        tiles = split_tiles(batch, max_sz=128, pad=16)
+        assert len(tiles) == 1
+        assert tiles[0][1:5] == (0, 64, 0, 64)
+
+    def test_tiling_covers_frame_exactly(self, rng):
+        h, w = 200, 300
+        batch = {"features": np.zeros((1, 1, 1, h, w))}
+        tiles = split_tiles(batch, max_sz=128, pad=16)
+        cover = np.zeros((h, w), int)
+        for _, y0, y1, x0, x1, _ in tiles:
+            cover[y0:y1, x0:x1] += 1
+        assert (cover == 1).all()
+
+    def test_roundtrip_identity_model(self, rng):
+        """Tiled application of an identity 'model' that crops a border must
+        reconstruct the interior exactly."""
+        h, w, crop = 100, 130, 4
+        img = rng.rand(1, 3, h, w).astype(np.float32)
+        batch = {"features": img}
+        tiles = split_tiles(batch, max_sz=64, pad=16)
+        outs = []
+        for tb, y0, y1, x0, x1, tilepad in tiles:
+            out = tb["features"][..., crop:-crop, crop:-crop]
+            outs.append((pad_back(tb, out), y0, y1, x0, x1, tilepad))
+        canvas = np.zeros_like(img)
+        merge_tiles(canvas, outs)
+        assert np.allclose(canvas[..., crop:-crop, crop:-crop],
+                           img[..., crop:-crop, crop:-crop])
+
+
+class TestSceneGenerator:
+    def test_scene_pbrt_structure(self):
+        from sbmc_tpu import scene_generator as sg
+        scn = sg.Scene(renderer=sg.Renderer(spp=4, gt_spp=16, width=64,
+                                            height=64))
+        scn.camera = sg.Camera(position=[0, 0, 2], fov=45)
+        sphere = sg.Sphere(radius=2.0)
+        mat = sg.MatteMaterial(id="m0", diffuse=[1, 0, 0])
+        sphere.assign_material(mat)
+        sg.translate(sphere, [1, 2, 3])
+        scn.materials.append(mat)
+        scn.shapes.append(sphere)
+        scn.lights.append(sg.PointLight(spectrum=[5, 5, 5]))
+        out = scn.pbrt()
+        assert 'Renderer "rendernet" "integer tilesize" [128] ' \
+               '"integer recordedsamples" [4]' in out
+        assert 'SurfaceIntegrator "pathrendernet"' in out
+        assert '"integer pixelsamples" [16]' in out  # sampler runs gt_spp
+        assert 'MakeNamedMaterial "m0" "string type" "matte"' in out
+        assert 'NamedMaterial "m0"' in out
+        assert "Translate 1 2 3" in out
+        assert 'Shape "sphere" "float radius" [2.0]' in out
+        assert out.index("WorldBegin") < out.index("LightSource")
+        assert out.endswith("WorldEnd\n")
+
+    def test_pathrendernet_requires_gt_spp(self):
+        from sbmc_tpu import scene_generator as sg
+        with pytest.raises(RuntimeError):
+            sg.Renderer(integrator="pathrendernet", gt_spp=None)
+        with pytest.raises(RuntimeError):
+            sg.Renderer(integrator="pathrendernet", gt_spp=8, path_depth=3)
+
+    def test_motion_blur_channels(self):
+        from sbmc_tpu import scene_generator as sg
+        s = sg.Sphere()
+        sg.translate(s, [0, 0, 1])
+        sg.translate(s, [1, 0, 0], target="end")
+        out = s.pbrt()
+        assert "ActiveTransform EndTime" in out
+        assert out.index("Translate 0 0 1") < out.index(
+            "ActiveTransform EndTime")
+
+    def test_material_roundtrip_params(self):
+        from sbmc_tpu import scene_generator as sg
+        m = sg.UberMaterial(id="u", diffuse=[0.1, 0.2, 0.3],
+                            glossy_reflection=0.5, roughness=0.7)
+        out = m.pbrt()
+        assert '"rgb Kd" [0.1 0.2 0.3]' in out
+        assert '"rgb Ks" [0.5 0.5 0.5]' in out
+        assert '"float roughness" [0.7]' in out
+
+    def test_textured_material_emits_texture(self):
+        from sbmc_tpu import scene_generator as sg
+        tex = sg.Imagemap("t0", "spectrum", "wood.tga")
+        m = sg.MatteMaterial(id="m", diffuse_texture=tex)
+        out = m.pbrt()
+        assert out.index('Texture "t0"') < out.index("MakeNamedMaterial")
+        assert '"texture Kd" "t0"' in out
+
+    def test_poisson_disc_min_distance(self):
+        from sbmc_tpu.scene_generator import poisson_disc_samples
+        rng = np.random.RandomState(0)
+        pts = np.array(poisson_disc_samples(1.0, 1.0, 0.1, rng=rng))
+        assert len(pts) > 20
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        d[np.arange(len(pts)), np.arange(len(pts))] = 1e9
+        assert d.min() >= 0.1 - 1e-9
+
+    def test_outdoor_generator_samples_scene(self, tmp_path):
+        from sbmc_tpu import scene_generator as sg
+
+        class _FakeConverter:
+            def __call__(self, fname, dst):
+                return [sg.PBRTObject("geo.pbrt", sg.OBJMaterial(""))]
+
+        np.random.seed(3)
+        gen = sg.OutdoorSceneGenerator(["env.pfm"], None, ["model.obj"],
+                                       "obj2pbrt")
+        gen._converter = _FakeConverter()
+        scn = sg.Scene(renderer=sg.Renderer(spp=2, gt_spp=4))
+        ok = False
+        for _ in range(10):
+            scn = sg.Scene(renderer=sg.Renderer(spp=2, gt_spp=4))
+            if gen.sample(scn, str(tmp_path)):
+                ok = True
+                break
+        assert ok
+        out = scn.pbrt()
+        assert 'LightSource "infinite"' in out
+        assert "trianglemesh" in out  # ground plane
+        assert scn.camera is not None
+
+
+class TestSynthetic:
+    def test_renders_valid_tiles(self, tmp_path):
+        from sbmc_tpu.data.synthetic import generate_dataset
+        from sbmc_tpu.data import TilesDataset
+        generate_dataset(str(tmp_path), n_scenes=1, ts=16,
+                         tiles_per_side=2, spp=3, gt_spp=8, seed=0)
+        d = TilesDataset(str(tmp_path), spp=3)
+        assert len(d) == 4
+        item = d[0]
+        for k, v in item.items():
+            if isinstance(v, np.ndarray):
+                assert np.isfinite(v).all(), k
+        assert item["radiance"].min() >= 0
+
+    def test_low_spp_correlates_with_target(self, tmp_path):
+        from sbmc_tpu.data.synthetic import generate_dataset
+        from sbmc_tpu.data import FullImagesDataset
+        generate_dataset(str(tmp_path), n_scenes=1, ts=32,
+                         tiles_per_side=2, spp=4, gt_spp=32, seed=1)
+        fi = FullImagesDataset(str(tmp_path), spp=4)[0]
+        corr = np.corrcoef(fi["low_spp"].ravel(),
+                           fi["target_image"].ravel())[0, 1]
+        assert corr > 0.5
