@@ -1,0 +1,52 @@
+# Convenience targets (the role of the reference Makefile's test/demo
+# targets, minus docker: this framework runs directly on the host/TPU).
+
+DATA_DIR ?= /tmp/sbmc_tpu_demo/data
+CKPT_DIR ?= /tmp/sbmc_tpu_demo/ckpt
+OUT_DIR  ?= /tmp/sbmc_tpu_demo/output
+
+.PHONY: test test-fast demo/data demo/train demo/denoise demo/eval demo bench
+
+test:
+	python -m pytest tests -q
+
+test-fast:
+	python -m pytest tests -q -x --ignore=tests/test_ops.py
+
+# Generate a small synthetic dataset (no external renderer needed).
+demo/data:
+	python -c "from sbmc_tpu.data.synthetic import generate_dataset; \
+	generate_dataset('$(DATA_DIR)/train', n_scenes=4, ts=64, tiles_per_side=2, spp=8, gt_spp=64, seed=0); \
+	generate_dataset('$(DATA_DIR)/test', n_scenes=1, ts=64, tiles_per_side=2, spp=8, gt_spp=64, seed=123)"
+
+# Train the SBMC model briefly on the synthetic data.
+demo/train:
+	python scripts/train.py $(DATA_DIR)/train $(CKPT_DIR) \
+	  --spp 8 --bs 1 --max_steps 200 --log_interval 10 \
+	  --checkpoint_interval 50
+
+# Denoise the held-out scene with the trained checkpoint.
+demo/denoise:
+	python scripts/denoise.py --input $(DATA_DIR)/test \
+	  --checkpoint $(CKPT_DIR) --output $(OUT_DIR)/4spp_ours/scene_0000.exr \
+	  --spp 4
+
+# Score the denoised output against the ground truth.
+demo/eval:
+	python - <<-'EOF'
+	import os
+	from sbmc_tpu.data import FullImagesDataset
+	from sbmc_tpu.utils import exr
+	d = FullImagesDataset("$(DATA_DIR)/test", spp=4)
+	os.makedirs("$(OUT_DIR)/ref", exist_ok=True)
+	exr.write("$(OUT_DIR)/ref/scene_0000.exr",
+	          d[0]["target_image"].transpose(1, 2, 0), pixel_type="float")
+	EOF
+	python scripts/compute_metrics.py $(OUT_DIR)/ref /tmp/sbmc_tpu_demo/scores.csv \
+	  --methods $(OUT_DIR)/4spp_ours --scenes scene_0000.exr --pad 4 \
+	  --stats /tmp/sbmc_tpu_demo/stats.csv
+
+demo: demo/data demo/train demo/denoise demo/eval
+
+bench:
+	python bench.py

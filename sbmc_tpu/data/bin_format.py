@@ -27,6 +27,7 @@ visibility, hasHit, albedo_first rgb, albedo rgb.
 """
 
 import dataclasses
+import os
 import struct
 from typing import Optional
 
@@ -156,35 +157,54 @@ def read_header(fid):
     return meta, gfeatures
 
 
-def read_tile(path, spp=None):
+def read_tile(path, spp=None, num_threads=0):
     """Read a ``.bin`` tile fully into a :class:`Tile`.
+
+    Uses the native multithreaded decoder when available (src/fastbin.cpp),
+    falling back to the pure-Python path.
 
     Args:
       path: file path.
       spp: optional number of samples to load (defaults to all).
+      num_threads: decode threads for the native path (0 = cpu count).
     """
-    with open(path, "rb") as fid:
-        meta, gf = read_header(fid)
-        ts = meta["tile_size"]
-        pd = meta["path_depth"]
-        sf = meta["sample_features"]
-        n = meta["sample_count"] if spp is None else spp
-        if n > meta["sample_count"]:
-            raise ValueError("Requested too many samples.")
-        block_x, block_y = struct.unpack("2i", fid.read(8))
-        pix = np.frombuffer(
-            _read_compressed(fid, meta["pixel_features"] * ts * ts * 4),
-            np.float32).reshape(meta["pixel_features"], ts, ts)
+    import io
 
-        feats = np.empty((n, sf, ts, ts), np.float32)
-        p = np.empty((n, 4 * pd, ts, ts), np.float32)
-        ld = np.empty((n, 2 * pd, ts, ts), np.float32)
-        bt = np.empty((n, pd, ts, ts), np.int16)
-        f_b = sf * ts * ts * 4
-        p_b = 4 * pd * ts * ts * 4
-        ld_b = 2 * pd * ts * ts * 4
-        bt_b = pd * ts * ts * 2
-        total = f_b + p_b + ld_b + bt_b
+    from sbmc_tpu.data import _native
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    fid = io.BytesIO(raw)
+    meta, gf = read_header(fid)
+    ts = meta["tile_size"]
+    pd = meta["path_depth"]
+    sf = meta["sample_features"]
+    n = meta["sample_count"] if spp is None else spp
+    if n > meta["sample_count"]:
+        raise ValueError("Requested too many samples.")
+    block_x, block_y = struct.unpack("2i", fid.read(8))
+    pix = np.frombuffer(
+        _read_compressed(fid, meta["pixel_features"] * ts * ts * 4),
+        np.float32).reshape(meta["pixel_features"], ts, ts)
+
+    feats = np.empty((n, sf, ts, ts), np.float32)
+    p = np.empty((n, 4 * pd, ts, ts), np.float32)
+    ld = np.empty((n, 2 * pd, ts, ts), np.float32)
+    bt = np.empty((n, pd, ts, ts), np.int16)
+    f_b = sf * ts * ts * 4
+    p_b = 4 * pd * ts * ts * 4
+    ld_b = 2 * pd * ts * ts * 4
+    bt_b = pd * ts * ts * 2
+    total = f_b + p_b + ld_b + bt_b
+
+    native = _native.get()
+    if native is not None and n > 0:
+        if num_threads <= 0:
+            num_threads = min(os.cpu_count() or 1, 8)
+        native.decode_sample_blocks(
+            raw, fid.tell(), n, f_b, p_b, ld_b, bt_b,
+            feats, p, ld, bt, num_threads)
+    else:
         for s in range(n):
             buf = _read_compressed(fid, total)
             off = 0
