@@ -68,7 +68,7 @@ def progressive_init(bs, c, h, w, dtype=jnp.float32):
 
 
 def progressive_kernel_apply(data, kernels, state, splat=False, valid=None,
-                             backend=None):
+                             backend=None, fused=True):
     """Add one sample's kernel-weighted contribution to the running sums.
 
     The final reconstruction is ``state.sum_r / state.sum_w``; kernels are
@@ -87,6 +87,24 @@ def progressive_kernel_apply(data, kernels, state, splat=False, valid=None,
     Returns:
       Updated ``ProgressiveState``.
     """
+    if splat and fused:
+        # Fused path: single HBM round trip for the transposed kernels
+        # (transpose + tap-max + exp + weighting in two Pallas kernels).
+        # Masked samples are handled by selecting the old state wholesale,
+        # which is exactly "contribute nothing".
+        sum_r, sum_w, max_w = ops.progressive_splat_update(
+            data, kernels, state.sum_r, state.sum_w, state.max_w,
+            backend=backend)
+        new_state = ProgressiveState(sum_r=sum_r, sum_w=sum_w, max_w=max_w)
+        if valid is None:
+            return new_state
+        v = valid.reshape(valid.shape + (1, 1, 1))
+        return ProgressiveState(
+            sum_r=jnp.where(v, new_state.sum_r, state.sum_r),
+            sum_w=jnp.where(v, new_state.sum_w, state.sum_w),
+            max_w=jnp.where(v, new_state.max_w, state.max_w),
+        )
+
     if splat:
         kernels = ops.scatter2gather(kernels, backend=backend)
     if valid is not None:

@@ -31,6 +31,9 @@ from sbmc_tpu.ops import pallas_kernels
 __all__ = [
     "kernel_weighting",
     "scatter2gather",
+    "scatter2gather_max",
+    "kernel_weighting_exp",
+    "progressive_splat_update",
     "set_backend",
     "get_backend",
 ]
@@ -115,6 +118,98 @@ def _scatter2gather_bwd(backend, _, ct):
 
 
 _scatter2gather.defvjp(_scatter2gather_fwd, _scatter2gather_bwd)
+
+
+def _s2g_max_impl(weights, backend):
+    if backend == "xla":
+        g = reference.scatter2gather_ref(weights)
+        return g, jnp.max(g, axis=1)
+    return pallas_kernels.scatter2gather_max_pallas(
+        weights, interpret=(backend == "pallas_interpret"))
+
+
+def _kw_exp_impl(data, logits, maxes, backend):
+    if backend == "xla":
+        return reference.kernel_weighting_ref(
+            data, jnp.exp(logits - maxes[:, None]))
+    return pallas_kernels.kernel_weighting_exp_pallas(
+        data, logits, maxes, interpret=(backend == "pallas_interpret"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _progressive_splat_update(data, klogits, sum_r, sum_w, max_w, backend):
+    out, _res = _psu_fwd(data, klogits, sum_r, sum_w, max_w, backend)
+    return out
+
+
+def _psu_fwd(data, klogits, sum_r, sum_w, max_w, backend):
+    g, kmax = _s2g_max_impl(klogits, backend)
+    new_max = jnp.maximum(kmax[:, None], max_w)       # [bs, 1, h, w]
+    scaler = jnp.exp(max_w - new_max)
+    r, w = _kw_exp_impl(data, g, new_max[:, 0], backend)
+    new_sum_r = sum_r * scaler + r
+    new_sum_w = sum_w * scaler + w[:, None]
+    out = (new_sum_r, new_sum_w, new_max)
+    return out, (data, klogits, new_max, scaler)
+
+
+def _psu_bwd(backend, res, cts):
+    # The softmax shift (new_max/scaler) is treated as a constant: its
+    # gradient contributions cancel exactly in the normalized output
+    # sum_r / sum_w (softmax shift invariance; the flash-attention
+    # stop-gradient-on-max argument), so dropping them reproduces the
+    # reference autograd up to the 1e-8 normalizer epsilon.
+    data, klogits, new_max, scaler = res
+    d_sum_r_new, d_sum_w_new, _d_max = cts
+    g, _ = _s2g_max_impl(klogits, backend)
+    e = jnp.exp(g - new_max)
+    d_sum_r = d_sum_r_new * scaler
+    d_sum_w = d_sum_w_new * scaler
+    d_r = d_sum_r_new
+    d_w = d_sum_w_new[:, 0]
+    d_data, _ = _kw_fwd_impl(d_r, _s2g_impl(e, backend), backend)
+    d_e = _kw_dw_impl(data, d_r, d_w, klogits.shape[1], backend)
+    d_klogits = _s2g_impl(e * d_e, backend)
+    d_max_w = jnp.zeros_like(new_max)
+    return d_data, d_klogits, d_sum_r, d_sum_w, d_max_w
+
+
+_progressive_splat_update.defvjp(_psu_fwd, _psu_bwd)
+
+
+def progressive_splat_update(data, klogits, sum_r, sum_w, max_w,
+                             backend=None):
+    """One fused step of the progressive online-softmax splat accumulation.
+
+    Equivalent to ``scatter2gather`` + tap-max + rescale + ``exp`` +
+    ``kernel_weighting`` + accumulate (reference: sbmc/modules.py:417-473),
+    but the transposed-kernel tensor makes a single HBM round trip: the tap
+    max is produced inside the transpose kernel and the exponential is fused
+    into the weighting kernel.
+
+    Args:
+      data: ``[bs, c, h, w]`` sample radiance.
+      klogits: ``[bs, k2, h, w]`` raw splat-kernel logits.
+      sum_r, sum_w, max_w: running state (``[bs, c, h, w]``,
+        ``[bs, 1, h, w]``, ``[bs, 1, h, w]``).
+
+    Returns:
+      ``(sum_r', sum_w', max_w')``.
+    """
+    return _progressive_splat_update(data, klogits, sum_r, sum_w, max_w,
+                                     backend or get_backend())
+
+
+def scatter2gather_max(weights, backend=None):
+    """Transpose splat->gather kernels and return the per-pixel tap max in
+    the same pass. Not differentiable (used inside fused ops)."""
+    return _s2g_max_impl(weights, backend or get_backend())
+
+
+def kernel_weighting_exp(data, logits, maxes, backend=None):
+    """Kernel weighting of ``exp(logits - maxes)`` with the exponential
+    fused into the kernel. Not differentiable (used inside fused ops)."""
+    return _kw_exp_impl(data, logits, maxes, backend or get_backend())
 
 
 def kernel_weighting(data, weights, backend=None):

@@ -37,8 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "kernel_weighting_fwd_pallas",
+    "kernel_weighting_exp_pallas",
     "kernel_weighting_dw_pallas",
     "scatter2gather_pallas",
+    "scatter2gather_max_pallas",
 ]
 
 
@@ -153,6 +155,93 @@ def kernel_weighting_fwd_pallas(data, weights, *, block_h=None, block_w=None,
 
 
 # ---------------------------------------------------------------------------
+# kernel_weighting with fused exp (the progressive-softmax hot path)
+# ---------------------------------------------------------------------------
+
+def _kw_exp_kernel(dp_ref, w_ref, m_ref, out_ref, sw_ref, scratch, sem, *,
+                   K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    cp = pltpu.make_async_copy(
+        dp_ref.at[n, :, pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+        scratch, sem)
+    cp.start()
+
+    m = m_ref[0, 0]                       # (TH, TW)
+    w = jnp.exp(w_ref[0] - m[None])       # (K2, TH, TW), fused softmax-exp
+    sw_ref[0] = jnp.sum(w, axis=0)
+
+    cp.wait()
+    c = scratch.shape[0]
+    acc = jnp.zeros((c, TH, TW), jnp.float32)
+    for dy in range(K):
+        band = scratch[:, dy:dy + TH, :]
+        for dx in range(K):
+            acc += w[dy * K + dx][None] * band[:, :, dx:dx + TW]
+    out_ref[0] = acc
+
+
+def kernel_weighting_exp_pallas(data, logits, maxes, *, block_h=None,
+                                block_w=None, interpret=False):
+    """Kernel weighting with the softmax exponential fused in:
+    ``weights = exp(logits - maxes)`` is computed in VMEM per tile, so the
+    exponentiated kernel tensor never round-trips HBM (the progressive
+    online-softmax hot path, reference: sbmc/modules.py:439-465).
+
+    Args:
+      data: ``[bs, c, h, w]`` float32.
+      logits: ``[bs, k2, h, w]`` float32 gather-kernel logits.
+      maxes: ``[bs, h, w]`` float32 per-pixel running max.
+
+    Returns:
+      ``(output [bs, c, h, w], sum_w [bs, h, w])``.
+    """
+    bs, c, h, w = data.shape
+    k2 = logits.shape[1]
+    K = _ksize(k2)
+    o = (K - 1) // 2
+    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    RH = _round_up(TH + K - 1, 8)
+    RW = _round_up(TW + K - 1, 128)
+
+    dp = _pad_halo(data, o, hp, wp, RH, RW, TH, TW)
+    lg = jnp.pad(logits, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    mx = jnp.pad(maxes, ((0, 0), (0, hp - h), (0, wp - w)))[:, None]
+
+    grid = (bs, hp // TH, wp // TW)
+    out, sum_w = pl.pallas_call(
+        functools.partial(_kw_exp_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, k2, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), lambda n, iy, ix: (n, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bs, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(dp, lg, mx)
+    return out[:, :, :h, :w], sum_w[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
 # kernel_weighting d_weights
 # ---------------------------------------------------------------------------
 
@@ -251,6 +340,75 @@ def _s2g_kernel(wp_ref, out_ref, scratch, sems, *, K, TH, TW, RH, RW):
         for dx in range(K):
             out_ref[0, dy * K + dx] = \
                 scratch[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
+
+
+def _s2g_max_kernel(wp_ref, out_ref, kmax_ref, scratch, sems, *,
+                    K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    def fetch(dy, slot):
+        return pltpu.make_async_copy(
+            wp_ref.at[n, pl.ds((K - 1 - dy) * K, K),
+                      pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+            scratch.at[slot], sems.at[slot])
+
+    fetch(0, 0).start()
+    m = jnp.full((TH, TW), -jnp.inf, jnp.float32)
+    for dy in range(K):
+        slot = dy % 2
+        if dy + 1 < K:
+            fetch(dy + 1, 1 - slot).start()
+        fetch(dy, slot).wait()
+        for dx in range(K):
+            v = scratch[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
+            out_ref[0, dy * K + dx] = v
+            m = jnp.maximum(m, v)
+    kmax_ref[0] = m
+
+
+def scatter2gather_max_pallas(weights, *, block_h=None, block_w=None,
+                              interpret=False):
+    """Scatter-to-gather transpose that also emits the per-pixel max over
+    the transposed taps in the same pass (saves the separate reduction pass
+    of the progressive softmax, reference: sbmc/modules.py:429).
+
+    Returns:
+      ``(gather [bs, k2, h, w], kmax [bs, h, w])``.
+    """
+    bs, k2, h, w = weights.shape
+    K = _ksize(k2)
+    o = (K - 1) // 2
+    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    RH = _round_up(TH + K - 1, 8)
+    RW = _round_up(TW + K - 1, 128)
+
+    wpad = _pad_halo(weights, o, hp, wp, RH, RW, TH, TW)
+
+    grid = (bs, hp // TH, wp // TW)
+    out, kmax = pl.pallas_call(
+        functools.partial(_s2g_max_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, k2, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), lambda n, iy, ix: (n, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, k2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bs, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(wpad)
+    return out[:, :, :h, :w], kmax[:, :h, :w]
 
 
 def scatter2gather_pallas(weights, *, block_h=None, block_w=None,

@@ -193,3 +193,62 @@ class TestKernelApply:
             valid=jnp.array([False]))
         for a, b in zip(state, state2):
             assert np.allclose(np.array(a), np.array(b))
+
+
+class TestFusedProgressive:
+    """Fused (single-HBM-pass) progressive splat vs the composed path."""
+
+    def test_forward_exact_match(self, rng):
+        k, h, w, spp = 5, 12, 16, 3
+        data = rng.randn(spp, 1, 3, h, w).astype(np.float32)
+        kernels = rng.randn(spp, 1, k * k, h, w).astype(np.float32)
+
+        def run(fused):
+            state = progressive_init(1, 3, h, w)
+            for s in range(spp):
+                state = progressive_kernel_apply(
+                    jnp.array(data[s]), jnp.array(kernels[s]), state,
+                    splat=True, fused=fused)
+            return state
+
+        a, b = run(True), run(False)
+        for x, y in zip(a, b):
+            assert np.allclose(np.array(x), np.array(y), atol=1e-5)
+
+    def test_gradients_match_on_normalized_output(self, rng):
+        """The fused op stop-grads the softmax shift; gradients of the
+        normalized output must still match the composed path (shift
+        invariance)."""
+        k, h, w, spp = 3, 8, 8, 2
+        data = rng.randn(spp, 1, 3, h, w).astype(np.float32)
+        kernels = rng.randn(spp, 1, k * k, h, w).astype(np.float32)
+
+        def loss(kn, fused):
+            state = progressive_init(1, 3, h, w)
+            for s in range(spp):
+                state = progressive_kernel_apply(
+                    jnp.array(data[s]), kn[s], state, splat=True,
+                    fused=fused)
+            out = state.sum_r / (state.sum_w + 1e-8)
+            return jnp.sum(out * jnp.sin(out))
+
+        kj = jnp.array(kernels)
+        g_fused = np.array(jax.grad(lambda kn: loss(kn, True))(kj))
+        g_ref = np.array(jax.grad(lambda kn: loss(kn, False))(kj))
+        assert np.allclose(g_fused, g_ref, atol=1e-4), \
+            np.abs(g_fused - g_ref).max()
+
+    def test_masked_sample_is_noop_fused(self, rng):
+        k, h, w = 3, 6, 6
+        data = rng.randn(1, 3, h, w).astype(np.float32)
+        kernels = rng.randn(1, k * k, h, w).astype(np.float32)
+        state = progressive_init(1, 3, h, w)
+        state = progressive_kernel_apply(jnp.array(data),
+                                         jnp.array(kernels), state,
+                                         splat=True, fused=True)
+        garbage = rng.randn(1, k * k, h, w).astype(np.float32) * 100
+        state2 = progressive_kernel_apply(
+            jnp.array(data), jnp.array(garbage), state, splat=True,
+            fused=True, valid=jnp.array([False]))
+        for a, b in zip(state, state2):
+            assert np.allclose(np.array(a), np.array(b))
