@@ -37,6 +37,7 @@ class _KernelStage(nn.Module):
     k2: int
     width: int
     splat: bool
+    emit_kernels: bool = False
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -51,7 +52,8 @@ class _KernelStage(nn.Module):
         state = progressive_kernel_apply(
             crop_like(r_s, kernels), kernels, state, splat=self.splat,
             valid=valid)
-        return (state, propagated), None
+        ys = kernels if self.emit_kernels else None
+        return (state, propagated), ys
 
 
 class Multisteps(nn.Module):
@@ -87,6 +89,7 @@ class Multisteps(nn.Module):
     nsteps: int = 3
     pixel: bool = False
     eps: float = 1e-8
+    return_kernels: bool = False  # also return per-sample kernel logits
 
     @nn.compact
     def __call__(self, samples):
@@ -168,12 +171,16 @@ class Multisteps(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        (state, _), _ = scan(
+        (state, _), ys = scan(
             k2=self.ksize * self.ksize, width=self.width, splat=self.splat,
+            emit_kernels=self.return_kernels,
             name="kernel_stage")((state0, propagated), xs)
 
         output = state.sum_r / (state.sum_w + self.eps)
 
         crop = (self.ksize - 1) // 2
         output = output[..., crop:-crop, crop:-crop]
-        return {"radiance": output}
+        out = {"radiance": output}
+        if self.return_kernels:
+            out["kernels"] = ys.transpose(1, 0, 2, 3, 4)  # [bs,spp,k2,h,w]
+        return out
