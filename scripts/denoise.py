@@ -85,19 +85,40 @@ def main(args):
                 (time.time() - start) * 1000))
             first = False
 
+        devices = jax.local_devices()[:args.num_devices] \
+            if args.num_devices else jax.local_devices()
+        if len(devices) > 1 and len(tiles) > 1:
+            # Round-robin tiles over devices: tiled inference is
+            # embarrassingly parallel (SURVEY.md §2.3 "spatial tiling").
+            params_per_dev = [jax.device_put(params, d) for d in devices]
+        else:
+            devices = devices[:1]
+            params_per_dev = [params]
+
         canvas = np.zeros_like(np.asarray(batch["low_spp"]))
-        jax.block_until_ready(params)
+        jax.block_until_ready(params_per_dev)
+        trace_ctx = None
+        if args.trace and scene_id == 0:
+            jax.profiler.start_trace(args.trace)
+            trace_ctx = True
         t0 = time.time()
         outs = []
-        for tb, y0, y1, x0, x1, tilepad in tiles:
-            out = apply_fn(params, tb)["radiance"]
+        for i, (tb, y0, y1, x0, x1, tilepad) in enumerate(tiles):
+            d = i % len(devices)
+            tb_dev = {k: jax.device_put(v, devices[d])
+                      for k, v in tb.items()}
+            out = apply_fn(params_per_dev[d], tb_dev)["radiance"]
             outs.append((out, tb, y0, y1, x0, x1, tilepad))
         merged = []
         for out, tb, y0, y1, x0, x1, tilepad in outs:
             out = pad_back(tb, jax.block_until_ready(out))
             merged.append((out, y0, y1, x0, x1, tilepad))
         elapsed = (time.time() - t0) * 1000
-        log.info("    denoising time {:.1f} ms".format(elapsed))
+        if trace_ctx:
+            jax.profiler.stop_trace()
+            log.info("    wrote profiler trace to %s", args.trace)
+        log.info("    denoising time {:.1f} ms ({} device(s))".format(
+            elapsed, len(devices)))
         merge_tiles(canvas, merged)
 
         out_radiance = canvas[0].transpose(1, 2, 0)
@@ -125,5 +146,10 @@ if __name__ == "__main__":
                         help="tile size bounding device memory usage.")
     parser.add_argument("--tile_pad", type=int, default=128,
                         help="overlap padding around tiles.")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="devices to spread tiles over (default: all).")
+    parser.add_argument("--trace", type=str, default=None,
+                        help="write a jax.profiler trace of the first scene"
+                        " to this directory.")
     parser.add_argument("--verbose", action="store_true")
     main(parser.parse_args())

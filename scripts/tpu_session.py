@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""TPU acceptance + performance session.
+
+One self-contained run that, on a healthy TPU: (1) validates every Pallas
+kernel (incl. the fused progressive-splat path) against a numpy oracle,
+(2) micro-benchmarks the ops at demo and 1080p scales across tile sizes,
+(3) times the full-model tiled 1080p denoise (the bench protocol), and
+(4) runs a few real train steps. Prints a summary; used to (re)tune
+kernel tile sizes whenever hardware is available.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def np_patches(data, k):
+    bs, c, h, w = data.shape
+    o = (k - 1) // 2
+    dp = np.pad(data, ((0, 0), (0, 0), (o, o), (o, o)))
+    return np.stack([dp[:, :, dy:dy + h, dx:dx + w]
+                     for dy in range(k) for dx in range(k)], 2)
+
+
+def np_fwd(data, wts):
+    k = int(round(wts.shape[1] ** 0.5))
+    p = np_patches(data, k)
+    return np.einsum("nkyx,nckyx->ncyx", wts, p), wts.sum(1)
+
+
+def np_s2g(wts):
+    bs, k2, h, w = wts.shape
+    k = int(round(k2 ** 0.5))
+    o = (k - 1) // 2
+    wf = wts.reshape(bs, k, k, h, w)[:, ::-1, ::-1].reshape(bs, k2, h, w)
+    wp = np.pad(wf, ((0, 0), (0, 0), (o, o), (o, o)))
+    return np.stack([wp[:, dy * k + dx, dy:dy + h, dx:dx + w]
+                     for dy in range(k) for dx in range(k)], 1)
+
+
+def validate(jax, jnp, ops):
+    rng = np.random.RandomState(0)
+    print("== correctness vs numpy oracle ==", flush=True)
+    for k, h, w in [(3, 33, 150), (5, 16, 128), (21, 64, 130)]:
+        data = rng.randn(1, 3, h, w).astype(np.float32)
+        wts = rng.randn(1, k * k, h, w).astype(np.float32)
+        dj, wj = jnp.array(data), jnp.array(wts)
+        out_p, sw_p = jax.jit(
+            lambda d, w: ops.kernel_weighting(d, w, backend="pallas"))(dj, wj)
+        out_n, sw_n = np_fwd(data, wts)
+        s_p = np.array(jax.jit(
+            lambda w: ops.scatter2gather(w, backend="pallas"))(wj))
+        s_n = np_s2g(wts)
+        g_p, km_p = jax.jit(
+            lambda w: ops.scatter2gather_max(w, backend="pallas"))(wj)
+        dout = rng.randn(1, 3, h, w).astype(np.float32)
+        dsw = rng.randn(1, h, w).astype(np.float32)
+
+        def f(d, w):
+            o_, s_ = ops.kernel_weighting(d, w, backend="pallas")
+            return jnp.vdot(o_, dout) + jnp.vdot(s_, dsw)
+        gp = jax.jit(jax.grad(f, argnums=(0, 1)))(dj, wj)
+        gd_n = np_fwd(dout, np_s2g(wts))[0]
+        gw_n = np.einsum("nckyx,ncyx->nkyx", np_patches(data, k),
+                         dout) + dsw[:, None]
+
+        # fused progressive update vs composed numpy
+        sr0 = rng.randn(1, 3, h, w).astype(np.float32)
+        sw0 = np.abs(rng.randn(1, 1, h, w)).astype(np.float32)
+        mw0 = rng.randn(1, 1, h, w).astype(np.float32)
+        fsr, fsw, fmw = jax.jit(
+            lambda *a: ops.progressive_splat_update(*a, backend="pallas"))(
+            dj, wj, jnp.array(sr0), jnp.array(sw0), jnp.array(mw0))
+        g_n = np_s2g(wts)
+        km_n = g_n.max(1, keepdims=True)
+        nm_n = np.maximum(km_n, mw0)
+        sc_n = np.exp(mw0 - nm_n)
+        e_n = np.exp(g_n - nm_n)
+        r_n, w_n = np_fwd(data, e_n)
+        fsr_n = sr0 * sc_n + r_n
+        fsw_n = sw0 * sc_n + w_n[:, None]
+
+        def md(a, b):
+            return float(np.abs(np.array(a) - b).max())
+        print(f" k={k} {h}x{w}: fwd {md(out_p, out_n):.2e}"
+              f" sw {md(sw_p, sw_n):.2e} s2g {md(s_p, s_n):.2e}"
+              f" s2gmax {md(km_p, km_n[:,0]):.2e}"
+              f" gd {md(gp[0], gd_n):.2e} gw {md(gp[1], gw_n):.2e}"
+              f" fused_r {md(fsr, fsr_n):.2e} fused_w {md(fsw, fsw_n):.2e}",
+              flush=True)
+
+
+def bench_ops(jax, jnp, ops, pallas_kernels):
+    from sbmc_tpu.nn.kernel_apply import (ProgressiveState,
+                                          progressive_kernel_apply)
+    rng = np.random.RandomState(0)
+    print("== op micro-benchmarks (k=21) ==", flush=True)
+    for bs, h, w in [(4, 512, 512), (1, 1088, 1920)]:
+        data = jnp.array(rng.randn(bs, 3, h, w), jnp.float32)
+        wts = jnp.array(rng.randn(bs, 441, h, w), jnp.float32)
+        st = (jnp.zeros((bs, 3, h, w)), jnp.zeros((bs, 1, h, w)),
+              jnp.full((bs, 1, h, w), -1e30))
+
+        def timeit(name, fn, *a, iters=8):
+            out = jax.block_until_ready(fn(*a))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*a)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+            gbs = wts.nbytes / 1e9 / dt
+            print(f"  {name} {bs}x{h}x{w}: {dt*1e3:7.2f} ms"
+                  f" ({gbs:5.0f} GB/s per kernel-tensor pass)", flush=True)
+            return dt
+
+        for bh in (8, 16, 32):
+            try:
+                fn = jax.jit(lambda d, w, bh=bh:
+                             pallas_kernels.kernel_weighting_fwd_pallas(
+                                 d, w, block_h=bh))
+                timeit(f"kw_fwd  bh={bh}", fn, data, wts)
+            except Exception as e:
+                print(f"  kw_fwd bh={bh} failed: {str(e)[:80]}", flush=True)
+        timeit("s2g        ", jax.jit(
+            lambda w: ops.scatter2gather(w, backend="pallas")), wts)
+        timeit("s2g_max    ", jax.jit(
+            lambda w: ops.scatter2gather_max(w, backend="pallas")), wts)
+        timeit("fused_step ", jax.jit(
+            lambda d, w, a, b, c:
+            ops.progressive_splat_update(d, w, a, b, c, backend="pallas")),
+            data, wts, *st)
+        timeit("unfused    ", jax.jit(
+            lambda d, w, a, b, c: progressive_kernel_apply(
+                d, w, ProgressiveState(a, b, c), splat=True, fused=False)),
+            data, wts, *st)
+
+
+def bench_model(jax, jnp):
+    print("== full-model 1080p 4spp tiled denoise ==", flush=True)
+    import subprocess
+    out = subprocess.check_output(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "bench.py")])
+    print(" ", out.decode().strip(), flush=True)
+
+
+def train_steps(jax, jnp):
+    print("== train steps (synthetic, TPU) ==", flush=True)
+    import tempfile
+
+    from sbmc_tpu.data import Loader, TilesDataset
+    from sbmc_tpu.data.synthetic import generate_dataset
+    from sbmc_tpu.models import Multisteps
+    from sbmc_tpu.train import DenoiserInterface
+
+    d = tempfile.mkdtemp()
+    generate_dataset(d, n_scenes=1, ts=128, tiles_per_side=1, spp=8,
+                     gt_spp=32, seed=0)
+    data = TilesDataset(d, spp=8)
+    loader = Loader(data, batch_size=1, shuffle=True, num_threads=2,
+                    drop_last=False)
+    model = Multisteps(n_features=data.num_features,
+                       n_global_features=data.num_global_features)
+    iface = DenoiserInterface(model)
+    batch = next(iter(loader))
+    state = iface.init(jax.random.PRNGKey(0), batch)
+    t0 = time.perf_counter()
+    state, m = iface.train_step(state, batch)
+    print("  first step (compile):", time.perf_counter() - t0, "s",
+          "loss", float(m["loss"]), flush=True)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state, m = iface.train_step(state, batch)
+    jax.block_until_ready(m["loss"])
+    print("  steady step: %.1f ms, loss %.5f" %
+          ((time.perf_counter() - t0) / 5 * 1e3, float(m["loss"])),
+          flush=True)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from sbmc_tpu import ops
+    from sbmc_tpu.ops import pallas_kernels
+
+    print("devices:", jax.devices(), flush=True)
+    if args.validate:
+        validate(jax, jnp, ops)
+    if args.bench_ops:
+        bench_ops(jax, jnp, ops, pallas_kernels)
+    if args.train:
+        train_steps(jax, jnp)
+    if args.bench_model:
+        bench_model(jax, jnp)
+    print("TPU_SESSION_DONE", flush=True)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--validate", action="store_true", default=True)
+    parser.add_argument("--no-validate", dest="validate",
+                        action="store_false")
+    parser.add_argument("--bench_ops", action="store_true", default=True)
+    parser.add_argument("--no-bench_ops", dest="bench_ops",
+                        action="store_false")
+    parser.add_argument("--train", action="store_true", default=True)
+    parser.add_argument("--no-train", dest="train", action="store_false")
+    parser.add_argument("--bench_model", action="store_true", default=True)
+    parser.add_argument("--no-bench_model", dest="bench_model",
+                        action="store_false")
+    main(parser.parse_args())
