@@ -182,3 +182,18 @@ def stats(csv_files, output):
     LOG.info("Averages:\n%s", mean_df)
     mean_df.to_csv(output)
     return mean_df, std_df
+
+
+def to_latex(mean_df, path=None):
+    """Render a mean-metrics table as LaTeX (the reference's legacy
+    figure-table exporter role, scripts/figures/_legacy_big_metrics.py)."""
+    cols = ["method", "spp"] + [c for c in METRIC_LABELS if c in mean_df]
+    df = mean_df[cols].rename(columns=METRIC_LABELS)
+    try:
+        tex = df.to_latex(index=False, float_format="%.5f")
+    except AttributeError:  # pandas without DataFrame.to_latex
+        tex = df.style.format(precision=5).to_latex()
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(tex)
+    return tex

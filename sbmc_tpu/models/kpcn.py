@@ -38,6 +38,13 @@ class KPCN(nn.Module):
     @nn.compact
     def __call__(self, data):
         k2 = self.ksize * self.ksize
+        h, w = data["kpcn_diffuse_in"].shape[-2:]
+        shrink = self.depth * 4  # depth valid 5x5 convs
+        if h - shrink <= 0 or w - shrink <= 0:
+            raise ValueError(
+                "KPCN with depth=%d needs inputs larger than %dx%d "
+                "(got %dx%d): the valid convolutions consume a %d-pixel "
+                "border." % (self.depth, shrink, shrink, h, w, shrink // 2))
 
         def chain(name):
             return ConvChain(k2, depth=self.depth, width=self.width, ksize=5,

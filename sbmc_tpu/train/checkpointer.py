@@ -76,8 +76,47 @@ class Checkpointer:
             os.remove(old)
         return path
 
+    @staticmethod
+    def _check_compat(target, restored, path=()):
+        """flax ``from_bytes`` silently drops extra keys and adopts foreign
+        shapes; enforce exact structural + shape agreement instead."""
+        import numpy as np
+        t_state = flax.serialization.to_state_dict(target)
+        r_state = restored
+
+        def rec(t, r, p):
+            if isinstance(t, dict) or isinstance(r, dict):
+                t_keys = set(t.keys()) if isinstance(t, dict) else set()
+                r_keys = set(r.keys()) if isinstance(r, dict) else set()
+                if t_keys != r_keys:
+                    raise ValueError(
+                        "checkpoint does not match the model at %s: "
+                        "missing %s, unexpected %s" %
+                        ("/".join(p) or "<root>",
+                         sorted(t_keys - r_keys), sorted(r_keys - t_keys)))
+                for k in t_keys:
+                    rec(t[k], r[k], p + (k,))
+            else:
+                ts, rs = np.shape(t), np.shape(r)
+                if ts != rs:
+                    raise ValueError(
+                        "checkpoint shape mismatch at %s: model %s vs "
+                        "checkpoint %s" % ("/".join(p), ts, rs))
+
+        rec(t_state, r_state, path)
+
+    def _load(self, target, path):
+        with open(path, "rb") as f:
+            blob = f.read()
+        restored = flax.serialization.msgpack_restore(blob)
+        self._check_compat(target, restored)
+        return flax.serialization.from_bytes(target, blob)
+
     def load_latest(self, target):
         """Restore the newest checkpoint into ``target`` (a template pytree).
+
+        Raises ``ValueError`` if the stored tree does not exactly match the
+        target's structure and shapes.
 
         Returns:
           ``(state, step)`` or ``(target, None)`` if nothing to restore.
@@ -86,13 +125,10 @@ class Checkpointer:
         if not ckpts:
             return target, None
         step, path = ckpts[-1]
-        with open(path, "rb") as f:
-            state = flax.serialization.from_bytes(target, f.read())
-        return state, step
+        return self._load(target, path), step
 
     def load_tag(self, target, tag):
         path = os.path.join(self.root, f"{tag}.msgpack")
         if not os.path.exists(path):
             return target, None
-        with open(path, "rb") as f:
-            return flax.serialization.from_bytes(target, f.read()), tag
+        return self._load(target, path), tag

@@ -60,7 +60,11 @@ class Trainer:
                 epoch += 1
         except KeyboardInterrupt:
             LOG.info("training interrupted")
-        finally:
+            self._emit("training_end")
+        else:
+            # On hard failures (e.g. the NaN-loss guard) do NOT run the
+            # end-of-training hooks: a final checkpoint of corrupted state
+            # would shadow the last good one.
             self._emit("training_end")
         return state
 

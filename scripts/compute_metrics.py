@@ -22,9 +22,13 @@ if __name__ == "__main__":
     parser.add_argument("--pad", type=int, default=21,
                         help="border pixels to exclude")
     parser.add_argument("--stats", help="optional aggregated stats .csv")
+    parser.add_argument("--latex", help="optional LaTeX table output path")
     args = parser.parse_args()
     set_logger()
     evaluation.compute(args.ref, args.output, args.methods, args.scenes,
                        pad=args.pad)
-    if args.stats:
-        evaluation.stats([args.output], args.stats)
+    if args.stats or args.latex:
+        mean_df, _ = evaluation.stats(
+            [args.output], args.stats or args.output + ".stats.csv")
+        if args.latex:
+            evaluation.to_latex(mean_df, args.latex)

@@ -60,7 +60,8 @@ def main(args):
 
     if args.kpcn_mode:
         log.info("Model: KPCN (gather baseline, [Bako2017])")
-        model_params = dict(n_in=data.num_features, ksize=args.ksize)
+        model_params = dict(n_in=data.num_features, ksize=args.ksize,
+                            depth=args.kpcn_depth, width=args.kpcn_width)
         model = KPCN(**model_params)
     else:
         log.info("Model: Multisteps (SBMC), splat=%s", not args.gather)
@@ -126,6 +127,10 @@ if __name__ == "__main__":
                         help="kernel size for the predicted kernels")
     parser.add_argument("--kpcn_mode", action="store_true",
                         help="train the [Bako2017] KPCN baseline")
+    parser.add_argument("--kpcn_depth", type=int, default=9,
+                        help="KPCN conv depth (valid convs consume a "
+                        "4*depth pixel border)")
+    parser.add_argument("--kpcn_width", type=int, default=100)
     parser.add_argument("--gather", action="store_true",
                         help="ablation: use gather kernels instead of splat")
     parser.add_argument("--pixel", action="store_true",

@@ -152,3 +152,37 @@ class TestTrainer:
         assert int(np.asarray(state.step)) == 8
         val = trainer.validate(state, batches[:2])
         assert np.isfinite(val["loss"]) and val["n"] == 2
+
+
+class TestCheckpointCompat:
+    def test_incompatible_checkpoint_raises(self, tmp_path, rng):
+        """Restoring a checkpoint from a differently-shaped model must fail
+        loudly (flax's from_bytes is silently lenient)."""
+        b = _batch(rng)
+        big = DenoiserInterface(Multisteps(
+            n_features=8, n_global_features=3, width=16, embedding_width=16,
+            ksize=3, nsteps=1))
+        small = DenoiserInterface(Multisteps(
+            n_features=8, n_global_features=3, width=8, embedding_width=8,
+            ksize=3, nsteps=1))
+        state_big = big.init(jax.random.PRNGKey(0), b)
+        ckpt = Checkpointer(str(tmp_path / "c"), meta={})
+        ckpt.save(state_big, 1)
+        template = small.init(jax.random.PRNGKey(0), b)
+        with pytest.raises(ValueError):
+            ckpt.load_latest(template)
+
+    def test_crash_does_not_save_final(self, tmp_path, rng):
+        """A NaN-loss abort must not write an end-of-training checkpoint."""
+        from sbmc_tpu.train import Trainer, callbacks
+        iface = _small_interface()
+        b = _batch(rng)
+        bad = {k: v.copy() for k, v in b.items()}
+        bad["target_image"] = bad["target_image"] * np.nan
+        state = iface.init(jax.random.PRNGKey(0), b)
+        ckpt = Checkpointer(str(tmp_path / "c"), meta={})
+        trainer = Trainer(iface, [callbacks.CheckpointingCallback(
+            ckpt, lambda: trainer.state, interval_steps=10**9)])
+        with pytest.raises(RuntimeError):
+            trainer.train(state, [b, bad, b], num_epochs=1)
+        assert ckpt.load_latest(state)[1] is None  # nothing was saved
