@@ -52,7 +52,9 @@ def main():
         "global_features": rng.rand(1, N_GLOBAL, 1, 1).astype(np.float32),
     }
 
-    model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL)
+    conv_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16") else None
+    model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL,
+                       conv_dtype=conv_dtype)
     tiles = split_tiles(batch, max_sz=TILE_SIZE, pad=TILE_PAD)
 
     params = model.init(jax.random.PRNGKey(0), tiles[0][0])

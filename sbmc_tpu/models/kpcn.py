@@ -7,6 +7,8 @@ softmax-normalized and applied as gathers, then the streams are recombined
 as ``albedo * diffuse + (exp(specular) - 1)``.
 """
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -34,6 +36,8 @@ class KPCN(nn.Module):
     ksize: int = 21
     depth: int = 9
     width: int = 100
+    #: compute dtype for the conv stacks (params stay float32).
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, data):
@@ -47,9 +51,10 @@ class KPCN(nn.Module):
                 "border." % (self.depth, shrink, shrink, h, w, shrink // 2))
 
         def chain(name):
+            dt = jnp.dtype(self.conv_dtype) if self.conv_dtype else None
             return ConvChain(k2, depth=self.depth, width=self.width, ksize=5,
                              activation="relu", weight_norm=False, pad=False,
-                             output_type="linear", name=name)
+                             output_type="linear", dtype=dt, name=name)
 
         # NHWC in the conv stacks, spatial-last for the kernel ops.
         d_in = data["kpcn_diffuse_in"].transpose(0, 2, 3, 1)

@@ -32,12 +32,18 @@ from sbmc_tpu.utils.image import crop_like
 __all__ = ["Multisteps"]
 
 
+def _dt(name):
+    """Resolve an optional dtype name ("bfloat16") to a jnp dtype."""
+    return jnp.dtype(name) if name else None
+
+
 class _KernelStage(nn.Module):
     """One scan step: regress a sample's kernels and splat its radiance."""
     k2: int
     width: int
     splat: bool
     emit_kernels: bool = False
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -46,7 +52,7 @@ class _KernelStage(nn.Module):
         f_in = jnp.concatenate([f_s, propagated], axis=-1)
         kernels = ConvChain(self.k2, depth=3, width=self.width, ksize=1,
                             activation="leaky_relu", pad=False,
-                            output_type="linear",
+                            output_type="linear", dtype=_dt(self.conv_dtype),
                             name="kernel_regressor")(f_in)
         kernels = kernels.transpose(0, 3, 1, 2)  # -> [bs, k2, h, w]
         state = progressive_kernel_apply(
@@ -90,6 +96,10 @@ class Multisteps(nn.Module):
     pixel: bool = False
     eps: float = 1e-8
     return_kernels: bool = False  # also return per-sample kernel logits
+    #: compute dtype for the conv stacks (params stay float32); use
+    #: jnp.bfloat16 on TPU for MXU-native throughput. The splat/gather
+    #: kernel path always accumulates in float32.
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, samples):
@@ -143,7 +153,7 @@ class Multisteps(nn.Module):
                 ).reshape(bs * spp, h, w, self.width)
             flat = jnp.concatenate([flat, extra], axis=-1)
             flat = ConvChain(self.embedding_width, width=self.width, depth=3,
-                             ksize=1, pad=False,
+                             ksize=1, pad=False, dtype=_dt(self.conv_dtype),
                              name=f"embedding_{step:02d}")(flat)
             feats = flat.reshape(bs, spp, h, w, self.embedding_width)
             # Permutation-invariant masked mean over samples
@@ -153,7 +163,8 @@ class Multisteps(nn.Module):
             propagated = Autoencoder(
                 self.width, num_levels=3, increase_factor=2.0, num_convs=3,
                 width=self.width, ksize=3, output_type="leaky_relu",
-                pooling="max", name=f"propagation_{step:02d}")(reduced)
+                pooling="max", dtype=_dt(self.conv_dtype),
+                name=f"propagation_{step:02d}")(reduced)
 
         # Per-sample kernel regression + progressive splatting, O(1) memory
         # in spp via scan.
@@ -173,7 +184,7 @@ class Multisteps(nn.Module):
         )
         (state, _), ys = scan(
             k2=self.ksize * self.ksize, width=self.width, splat=self.splat,
-            emit_kernels=self.return_kernels,
+            emit_kernels=self.return_kernels, conv_dtype=self.conv_dtype,
             name="kernel_stage")((state0, propagated), xs)
 
         output = state.sum_r / (state.sum_w + self.eps)

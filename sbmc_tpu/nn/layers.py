@@ -69,7 +69,9 @@ class WNConv2D(nn.Module):
     Matches torch ``nn.utils.weight_norm(nn.Conv2d(...))`` semantics: the
     direction tensor ``v`` carries the Xavier init and the scale ``g`` is
     initialized to ``||v||`` so the initial function equals the plain conv.
-    Input/output are NHWC.
+    Input/output are NHWC. Parameters are float32; with ``dtype=bfloat16``
+    the convolution itself runs in bf16 (MXU-native) and the result is
+    cast back.
     """
     features: int
     ksize: int
@@ -77,6 +79,7 @@ class WNConv2D(nn.Module):
     pad: bool = True
     weight_norm: bool = True
     init_gain_nonlinearity: str = "linear"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -97,13 +100,18 @@ class WNConv2D(nn.Module):
             kernel = v
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         padding = "SAME" if self.pad else "VALID"
+        out_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride, self.stride),
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
-        return y + bias
+        return y.astype(out_dtype) + bias
 
 
 class ConvChain(nn.Module):
@@ -124,6 +132,7 @@ class ConvChain(nn.Module):
     output_type: str = "linear"
     activation: str = "relu"
     weight_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -137,14 +146,14 @@ class ConvChain(nn.Module):
             x = WNConv2D(self.width, self.ksize, stride=self.stride,
                          pad=self.pad, weight_norm=self.weight_norm,
                          init_gain_nonlinearity=self.activation,
-                         name=f"layer_{d}")(x)
+                         dtype=self.dtype, name=f"layer_{d}")(x)
             x = act(x)
         out_gain = "relu" if self.output_type in ("elu", "softplus") \
             else self.output_type
         x = WNConv2D(self.noutputs, self.ksize, stride=self.stride,
                      pad=self.pad, weight_norm=self.weight_norm,
                      init_gain_nonlinearity=out_gain,
-                     name="prediction")(x)
+                     dtype=self.dtype, name="prediction")(x)
         if self.output_type != "linear":
             x = _activation(self.output_type)(x)
         return x
@@ -168,6 +177,7 @@ class Autoencoder(nn.Module):
     output_type: str = "linear"
     activation: str = "relu"
     pooling: str = "max"
+    dtype: Optional[jnp.dtype] = None
 
     def _width(self, lvl):
         return min(int(self.width * self.increase_factor ** lvl),
@@ -196,7 +206,7 @@ class Autoencoder(nn.Module):
             x = ConvChain(noutputs=n_out, ksize=self.ksize, width=w,
                           depth=self.num_convs, pad=True,
                           output_type=o_type, activation=self.activation,
-                          name=f"left_{lvl}")(x)
+                          dtype=self.dtype, name=f"left_{lvl}")(x)
             if not is_coarsest:
                 skips.append(x)
                 x = self._downsample(x, w)
@@ -212,5 +222,5 @@ class Autoencoder(nn.Module):
             x = ConvChain(noutputs=n_out, ksize=self.ksize, width=w,
                           depth=self.num_convs, pad=True,
                           output_type=o_type, activation=self.activation,
-                          name=f"right_{lvl}")(x)
+                          dtype=self.dtype, name=f"right_{lvl}")(x)
         return x

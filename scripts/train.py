@@ -61,14 +61,16 @@ def main(args):
     if args.kpcn_mode:
         log.info("Model: KPCN (gather baseline, [Bako2017])")
         model_params = dict(n_in=data.num_features, ksize=args.ksize,
-                            depth=args.kpcn_depth, width=args.kpcn_width)
+                            depth=args.kpcn_depth, width=args.kpcn_width,
+                            conv_dtype="bfloat16" if args.bf16 else None)
         model = KPCN(**model_params)
     else:
         log.info("Model: Multisteps (SBMC), splat=%s", not args.gather)
         model_params = dict(
             n_features=data.num_features,
             n_global_features=data.num_global_features,
-            ksize=args.ksize, splat=not args.gather, pixel=args.pixel)
+            ksize=args.ksize, splat=not args.gather, pixel=args.pixel,
+            conv_dtype="bfloat16" if args.bf16 else None)
         model = Multisteps(**model_params)
 
     mesh = None
@@ -146,5 +148,8 @@ if __name__ == "__main__":
     parser.add_argument("--num_worker_threads", type=int, default=4)
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--checkpoint_interval", type=int, default=1000)
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the conv stacks in bfloat16 (MXU-native; "
+                        "params and the splat path stay float32)")
     parser.add_argument("--verbose", action="store_true")
     main(parser.parse_args())
