@@ -100,6 +100,9 @@ class Multisteps(nn.Module):
     #: jnp.bfloat16 on TPU for MXU-native throughput. The splat/gather
     #: kernel path always accumulates in float32.
     conv_dtype: Optional[str] = None
+    #: rematerialize the embedding/propagation stacks in the backward pass
+    #: (trades FLOPs for activation memory; lets larger batches/tiles train)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, samples):
@@ -152,15 +155,17 @@ class Multisteps(nn.Module):
                     propagated[:, None], (bs, spp, h, w, self.width)
                 ).reshape(bs * spp, h, w, self.width)
             flat = jnp.concatenate([flat, extra], axis=-1)
-            flat = ConvChain(self.embedding_width, width=self.width, depth=3,
-                             ksize=1, pad=False, dtype=_dt(self.conv_dtype),
-                             name=f"embedding_{step:02d}")(flat)
+            Embed = nn.remat(ConvChain) if self.remat else ConvChain
+            flat = Embed(self.embedding_width, width=self.width, depth=3,
+                         ksize=1, pad=False, dtype=_dt(self.conv_dtype),
+                         name=f"embedding_{step:02d}")(flat)
             feats = flat.reshape(bs, spp, h, w, self.embedding_width)
             # Permutation-invariant masked mean over samples
             # (reference: sbmc/models.py:179).
             reduced = (jnp.sum(feats * mask_f[:, :, None, None, None], axis=1)
                        / n_valid[:, None, None, None])
-            propagated = Autoencoder(
+            Prop = nn.remat(Autoencoder) if self.remat else Autoencoder
+            propagated = Prop(
                 self.width, num_levels=3, increase_factor=2.0, num_convs=3,
                 width=self.width, ksize=3, output_type="leaky_relu",
                 pooling="max", dtype=_dt(self.conv_dtype),

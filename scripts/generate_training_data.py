@@ -187,6 +187,22 @@ def main(args):
     if args.width % args.tile_size or args.height % args.tile_size:
         raise ValueError("Block size should divide width and height.")
 
+    if args.renderer == "wavefront":
+        # TPU-native path: render TracerScenes directly (no external
+        # binaries); shards by worker like the PBRT path.
+        from sbmc_tpu.render import pathtracer
+        count = args.count if args.count > 0 else 1
+        LOG.info("Wavefront renderer: %d scenes at %dx%d, %d spp "
+                 "(gt %d)", count, args.width, args.height, args.spp,
+                 args.gt_spp)
+        pathtracer.generate_wavefront_dataset(
+            args.output, n_scenes=count, ts=args.tile_size,
+            tiles_per_side=args.width // args.tile_size, spp=args.spp,
+            gt_spp=args.gt_spp,
+            start_index=args.start_index + args.worker_id,
+            seed=0)
+        return
+
     LOG.info("Starting job on worker %d of %d with %d threads",
              args.worker_id, args.num_workers, args.threads)
     gen_params = GeneratorParams(args)
@@ -220,9 +236,15 @@ def main(args):
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
-    parser.add_argument("pbrt_exe", help="path to the `pbrt` executable.")
+    parser.add_argument("pbrt_exe", help="path to the `pbrt` executable "
+                        "(ignored with --renderer wavefront; pass '-').")
     parser.add_argument("obj2pbrt_exe",
-                        help="path to PBRT's `obj2pbrt` executable.")
+                        help="path to PBRT's `obj2pbrt` executable "
+                        "(ignored with --renderer wavefront; pass '-').")
+    parser.add_argument("--renderer", default="pbrt",
+                        choices=["pbrt", "wavefront"],
+                        help="'pbrt': external instrumented renderer; "
+                        "'wavefront': built-in TPU-native path tracer.")
     parser.add_argument("assets", help="path to the assets to use.")
     parser.add_argument("output")
     parser.add_argument("--start_index", type=int, default=0)

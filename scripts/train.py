@@ -70,7 +70,8 @@ def main(args):
             n_features=data.num_features,
             n_global_features=data.num_global_features,
             ksize=args.ksize, splat=not args.gather, pixel=args.pixel,
-            conv_dtype="bfloat16" if args.bf16 else None)
+            conv_dtype="bfloat16" if args.bf16 else None,
+            remat=args.remat)
         model = Multisteps(**model_params)
 
     mesh = None
@@ -148,6 +149,9 @@ if __name__ == "__main__":
     parser.add_argument("--num_worker_threads", type=int, default=4)
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--checkpoint_interval", type=int, default=1000)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize conv activations in the backward"
+                        " pass (larger batches at the cost of recompute)")
     parser.add_argument("--bf16", action="store_true",
                         help="run the conv stacks in bfloat16 (MXU-native; "
                         "params and the splat path stay float32)")
