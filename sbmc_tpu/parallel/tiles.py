@@ -10,7 +10,8 @@ round-robined across devices or hosts for multi-chip denoising.
 
 import numpy as np
 
-__all__ = ["split_tiles", "pad_back", "merge_tiles"]
+__all__ = ["split_tiles", "pad_back", "merge_tiles",
+           "split_tiles_uniform", "merge_tiles_uniform"]
 
 _TILE_KEYS = ["radiance", "features", "kpcn_diffuse_in", "kpcn_specular_in",
               "kpcn_diffuse_buffer", "kpcn_specular_buffer", "kpcn_albedo"]
@@ -91,3 +92,103 @@ def merge_tiles(canvas, tile_outputs):
         out = out[..., py0:out.shape[-2] - py1, px0:out.shape[-1] - px1]
         canvas[..., y0:y1, x0:x1] = out
     return canvas
+
+
+def split_tiles_uniform(batch, tile=512, pad=128):
+    """Split into *uniform-size* overlapping tiles stacked on the batch axis.
+
+    Unlike :func:`split_tiles` (reference semantics, ragged edge tiles and a
+    Python loop), every tile here is exactly ``tile x tile`` — the frame is
+    zero-padded up to the tiling grid — so all tiles stack into one batched
+    array: a single compiled ``model.apply`` serves the whole frame and the
+    batch axis shards over a device mesh (true SPMD multi-chip denoise).
+
+    Args:
+      batch: dict of image-like arrays with batch dim 1.
+      tile: tile extent (must exceed ``2 * pad``).
+      pad: overlap absorbed on interior edges.
+
+    Returns:
+      ``(stacked, info)`` where ``stacked`` maps keys to arrays with leading
+      dim ``n_tiles`` and ``info`` carries the geometry for
+      :func:`merge_tiles_uniform`.
+    """
+    ref_key = "features" if "features" in batch else "kpcn_diffuse_in"
+    h, w = batch[ref_key].shape[-2:]
+    step = tile - 2 * pad
+    if step <= 0:
+        raise ValueError("tile must exceed 2 * pad")
+    ny = max(1, -(-(h - 2 * pad) // step))
+    nx = max(1, -(-(w - 2 * pad) // step))
+    ph = 2 * pad + ny * step
+    pw = 2 * pad + nx * step
+
+    stacked = {}
+    for k in _UNCHANGED_KEYS:
+        if k in batch:
+            v = batch[k]
+            reps = [ny * nx] + [1] * (np.asarray(v).ndim - 1)
+            stacked[k] = np.tile(np.asarray(v), reps)
+    for k in _TILE_KEYS:
+        if k not in batch:
+            continue
+        v = np.asarray(batch[k])
+        widths = [(0, 0)] * (v.ndim - 2) + [(0, ph - h), (0, pw - w)]
+        vp = np.pad(v, widths)
+        tiles = []
+        for iy in range(ny):
+            for ix in range(nx):
+                y0, x0 = iy * step, ix * step
+                tiles.append(vp[0, ..., y0:y0 + tile, x0:x0 + tile])
+        stacked[k] = np.stack(tiles)
+    info = {"ny": ny, "nx": nx, "tile": tile, "pad": pad, "step": step,
+            "h": h, "w": w}
+    return stacked, info
+
+
+def merge_tiles_uniform(outputs, info, out_hw=None):
+    """Merge batched uniform-tile outputs back into a full frame.
+
+    Args:
+      outputs: ``[n_tiles, ..., th, tw]`` model outputs (the model may have
+        cropped a border; it is re-centered automatically).
+      info: geometry dict from :func:`split_tiles_uniform`.
+      out_hw: optional (h, w) of the full-frame output (defaults to the
+        input frame size).
+
+    Returns:
+      ``[1, ..., h, w]`` numpy array.
+    """
+    outputs = np.asarray(outputs)
+    ny, nx, tile, pad, step = (info["ny"], info["nx"], info["tile"],
+                               info["pad"], info["step"])
+    h, w = out_hw or (info["h"], info["w"])
+    crop = (tile - outputs.shape[-1]) // 2  # model's border crop
+    canvas = np.zeros(outputs.shape[1:-2] + (h, w), outputs.dtype)
+    inner = pad - crop  # margin to strip from each tile output
+    if inner < 0:
+        raise ValueError(
+            "tile pad (%d) is smaller than the model crop (%d)" %
+            (pad, crop))
+    for i in range(ny * nx):
+        iy, ix = divmod(i, nx)
+        o = outputs[i]
+        # Tile i covers [iy*step, iy*step + tile) in frame coords; it owns
+        # the non-overlap region [pad, pad + step), extended to the frame
+        # border at the edges (minus the model's crop, which nothing can
+        # produce — the frame keeps a zero `crop` border, exactly like the
+        # reference's cropped full-frame output).
+        y_lo = crop if iy == 0 else pad
+        y_hi = tile - crop if iy == ny - 1 else pad + step
+        x_lo = crop if ix == 0 else pad
+        x_hi = tile - crop if ix == nx - 1 else pad + step
+        # map into output coords (padded frame == output frame up to h, w)
+        fy0, fx0 = iy * step + y_lo, ix * step + x_lo
+        fy1 = min(iy * step + y_hi, h)
+        fx1 = min(ix * step + x_hi, w)
+        if fy1 <= fy0 or fx1 <= fx0:
+            continue
+        oy0, ox0 = y_lo - crop, x_lo - crop
+        canvas[..., fy0:fy1, fx0:fx1] = o[
+            ..., oy0:oy0 + (fy1 - fy0), ox0:ox0 + (fx1 - fx0)]
+    return canvas[None]

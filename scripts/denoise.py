@@ -57,6 +57,37 @@ def main(args):
 
     apply_fn = jax.jit(model.apply)
 
+    def denoise_uniform(params, batch, log):
+        """Single-compile SPMD path: uniform tiles stacked on the batch
+        axis, sharded over the device mesh."""
+        from sbmc_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+        from sbmc_tpu.parallel.tiles import (merge_tiles_uniform,
+                                             split_tiles_uniform)
+        stacked, info = split_tiles_uniform(batch, tile=args.tile_size,
+                                            pad=args.tile_pad)
+        n_tiles = stacked["features" if "features" in stacked
+                          else "kpcn_diffuse_in"].shape[0]
+        ndev = args.num_devices or jax.local_device_count()
+        ndev = min(ndev, n_tiles)
+        pad_to = -(-n_tiles // ndev) * ndev
+        if pad_to != n_tiles:
+            for k, v in stacked.items():
+                reps = np.concatenate(
+                    [v, np.repeat(v[-1:], pad_to - n_tiles, 0)], 0)
+                stacked[k] = reps
+        mesh = make_mesh(ndev)
+        shard = data_sharding(mesh)
+        params_r = replicate(params, mesh)
+        dev_batch = {k: jax.device_put(v, shard) for k, v in stacked.items()}
+        jax.block_until_ready(params_r)
+        t0 = time.time()
+        out = apply_fn(params_r, dev_batch)["radiance"]
+        out = np.asarray(jax.block_until_ready(out))[:n_tiles]
+        elapsed = (time.time() - t0) * 1000
+        log.info("    denoising time {:.1f} ms (uniform tiles over {} "
+                 "device(s))".format(elapsed, ndev))
+        return merge_tiles_uniform(out, info)
+
     first = True
     for scene_id in range(len(data)):
         item = data[scene_id]
@@ -64,7 +95,15 @@ def main(args):
                  for k, v in item.items()}
         scene = os.path.basename(data.get_scene_name(scene_id))
         log.info("  scene %s", scene)
-        tiles = split_tiles(batch, max_sz=args.tile_size, pad=args.tile_pad)
+        if args.uniform_tiles:
+            from sbmc_tpu.parallel.tiles import split_tiles_uniform
+            stacked0, _ = split_tiles_uniform(batch, tile=args.tile_size,
+                                              pad=args.tile_pad)
+            init_batch = {k: v[:1] for k, v in stacked0.items()}
+            tiles = [(init_batch, None, None, None, None, None)]
+        else:
+            tiles = split_tiles(batch, max_sz=args.tile_size,
+                                pad=args.tile_pad)
 
         if first:
             # Initialize params with the first tile's shapes and restore.
@@ -84,6 +123,19 @@ def main(args):
             log.info("setup time {:.1f} ms".format(
                 (time.time() - start) * 1000))
             first = False
+
+        if args.uniform_tiles:
+            canvas = denoise_uniform(params, batch, log)
+            out_radiance = np.asarray(canvas)[0].transpose(1, 2, 0)
+            outdir = os.path.dirname(args.output)
+            if outdir:
+                os.makedirs(outdir, exist_ok=True)
+            exr.write(args.output, out_radiance)
+            png = args.output.replace(".exr", ".png")
+            imageio.imwrite(
+                png, (np.clip(out_radiance, 0, 1) * 255).astype(np.uint8))
+            log.info("    wrote %s / %s", args.output, png)
+            continue
 
         devices = jax.local_devices()[:args.num_devices] \
             if args.num_devices else jax.local_devices()
@@ -148,6 +200,10 @@ if __name__ == "__main__":
                         help="overlap padding around tiles.")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="devices to spread tiles over (default: all).")
+    parser.add_argument("--uniform_tiles", action="store_true",
+                        help="uniform-size tiles stacked on the batch axis "
+                        "and sharded over the device mesh (one compiled "
+                        "apply for the whole frame; SPMD multi-chip).")
     parser.add_argument("--trace", type=str, default=None,
                         help="write a jax.profiler trace of the first scene"
                         " to this directory.")

@@ -239,3 +239,58 @@ class TestSynthetic:
         corr = np.corrcoef(fi["low_spp"].ravel(),
                            fi["target_image"].ravel())[0, 1]
         assert corr > 0.5
+
+
+class TestUniformTiles:
+    def test_roundtrip_identity_model(self, rng):
+        """Uniform tiling + merge reconstructs the interior exactly for an
+        identity 'model' that crops a border."""
+        from sbmc_tpu.parallel.tiles import (merge_tiles_uniform,
+                                             split_tiles_uniform)
+        h, w, crop = 100, 130, 4
+        img = rng.rand(1, 3, h, w).astype(np.float32)
+        batch = {"features": img, "global_features": rng.rand(1, 3, 1, 1)}
+        stacked, info = split_tiles_uniform(batch, tile=64, pad=16)
+        assert stacked["features"].shape[1:] == (3, 64, 64)
+        assert stacked["global_features"].shape[0] == \
+            stacked["features"].shape[0]
+        outs = stacked["features"][..., crop:-crop, crop:-crop]
+        merged = merge_tiles_uniform(outs, info)
+        assert merged.shape == (1, 3, h, w)
+        assert np.allclose(merged[..., crop:-crop, crop:-crop],
+                           img[..., crop:-crop, crop:-crop])
+        # the unproducible border stays zero
+        assert np.abs(merged[..., :crop, :]).max() == 0
+
+    def test_matches_ragged_tiling_interior(self, rng):
+        """Uniform and reference-style ragged tiling agree on the interior
+        for a linear local model (3x3 box blur with crop)."""
+        from sbmc_tpu.parallel.tiles import (merge_tiles, merge_tiles_uniform,
+                                             pad_back, split_tiles,
+                                             split_tiles_uniform)
+
+        def model(x):  # [.., c, h, w] -> box blur, crop 1
+            out = sum(x[..., 1 + dy:x.shape[-2] - 1 + dy,
+                        1 + dx:x.shape[-1] - 1 + dx]
+                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+            return out
+
+        h, w = 70, 90
+        img = rng.rand(1, 3, h, w).astype(np.float32)
+        batch = {"features": img}
+
+        stacked, info = split_tiles_uniform(batch, tile=48, pad=8)
+        outs = np.stack([model(t) for t in stacked["features"]])
+        uni = merge_tiles_uniform(outs, info)
+
+        tiles = split_tiles(batch, max_sz=48, pad=8)
+        merged = []
+        for tb, y0, y1, x0, x1, tp in tiles:
+            o = pad_back(tb, model(tb["features"][None])[0])
+            merged.append((o, y0, y1, x0, x1, tp))
+        rag = np.zeros_like(img)
+        merge_tiles(rag, merged)
+
+        c = 8
+        assert np.allclose(uni[..., c:-c, c:-c], rag[..., c:-c, c:-c],
+                           atol=1e-6)
