@@ -30,20 +30,22 @@ honor_env_platform()
 V100_BASELINE_FPS = 0.5  # documented estimate, see module docstring
 
 # Benchmark configuration: flagship model, reference demo-scale inputs.
-H, W = 1080, 1920
-SPP = 4
+# (Env overrides exist so the harness logic can be smoke-tested on CPU.)
+H = int(os.environ.get("SBMC_BENCH_H", 1080))
+W = int(os.environ.get("SBMC_BENCH_W", 1920))
+SPP = int(os.environ.get("SBMC_BENCH_SPP", 4))
 N_FEATURES = 93         # all sample features enabled (sbmc mode)
 N_GLOBAL = 3
-TILE_SIZE = 1024
-TILE_PAD = 256
-ITERS = 3
+TILE_SIZE = int(os.environ.get("SBMC_BENCH_TILE", 1024))
+TILE_PAD = int(os.environ.get("SBMC_BENCH_PAD", 256))
+ITERS = int(os.environ.get("SBMC_BENCH_ITERS", 3))
+KSIZE = int(os.environ.get("SBMC_BENCH_KSIZE", 21))
 
 
 def main():
     import jax
-    import jax.numpy as jnp
     from sbmc_tpu.models import Multisteps
-    from sbmc_tpu.parallel.tiles import split_tiles
+    from sbmc_tpu.parallel.tiles import split_tiles_uniform
 
     rng = np.random.RandomState(0)
     batch = {
@@ -54,20 +56,24 @@ def main():
 
     conv_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16") else None
     model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL,
-                       conv_dtype=conv_dtype)
-    tiles = split_tiles(batch, max_sz=TILE_SIZE, pad=TILE_PAD)
+                       ksize=KSIZE, conv_dtype=conv_dtype)
+    # Uniform tiles: one compiled apply per tile shape; tiles run
+    # back-to-back on the chip (stacked apply would also work but a
+    # per-tile loop bounds peak HBM).
+    stacked, info = split_tiles_uniform(batch, tile=TILE_SIZE, pad=TILE_PAD)
+    n_tiles = stacked["features"].shape[0]
+    tiles = [{k: v[i:i + 1] for k, v in stacked.items()}
+             for i in range(n_tiles)]
 
-    params = model.init(jax.random.PRNGKey(0), tiles[0][0])
+    params = model.init(jax.random.PRNGKey(0), tiles[0])
     apply_fn = jax.jit(model.apply)
 
     def denoise_frame():
-        outs = []
-        for tb, *_rest in tiles:
-            outs.append(apply_fn(params, tb)["radiance"])
+        outs = [apply_fn(params, tb)["radiance"] for tb in tiles]
         jax.block_until_ready(outs)
         return outs
 
-    denoise_frame()  # warmup: compile every tile shape
+    denoise_frame()  # warmup/compile (single tile shape)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):

@@ -22,6 +22,10 @@ from multiprocessing import JoinableQueue, Pool, cpu_count
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
+from sbmc_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
 
 import sbmc_tpu.scene_generator as scenegen  # noqa: E402
 from sbmc_tpu.utils.logging import get_logger, set_logger  # noqa: E402
