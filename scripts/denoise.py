@@ -109,7 +109,6 @@ def main(args):
             # Initialize params with the first tile's shapes and restore.
             params = model.init(jax.random.PRNGKey(0), tiles[0][0])
             from sbmc_tpu.train.interface import TrainState
-            import optax
             state_t = TrainState(params=params,
                                  opt_state=interface.tx.init(params),
                                  step=np.zeros((), np.int32))

@@ -41,6 +41,10 @@ def main(args):
     from sbmc_tpu.train import Checkpointer, DenoiserInterface, TrainState
 
     meta = Checkpointer.load_meta(args.checkpoint)
+    if meta.get("kpcn_mode", False):
+        raise SystemExit("kernel visualization requires an SBMC "
+                         "(Multisteps) checkpoint; KPCN predicts per-pixel "
+                         "gather kernels without the per-sample scan.")
     data = FullImagesDataset(args.input, **meta["data_params"])
     model = dataclasses.replace(build_model(meta), return_kernels=True)
 
