@@ -29,7 +29,6 @@ visibility, hasHit, albedo_first rgb, albedo rgb.
 import dataclasses
 import os
 import struct
-from typing import Optional
 
 import numpy as np
 

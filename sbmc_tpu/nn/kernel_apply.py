@@ -10,7 +10,7 @@ loop with an explicit carry ``(sum_r, sum_w, max_w)`` suitable for
 rule exactly reproduce the reference's separate init step.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ def main(args):
     import jax
     import torch
 
-    from sbmc_tpu.models.build import build_model, model_meta
+    from sbmc_tpu.models.build import build_model
     from sbmc_tpu.train import Checkpointer, DenoiserInterface, TrainState
     from sbmc_tpu.train.convert import torch_state_dict_to_flax
 

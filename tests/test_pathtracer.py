@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from sbmc_tpu.data import TilesDataset, bin_format
 from sbmc_tpu.render import pathtracer

@@ -5,15 +5,14 @@ tiny synthetic dataset."""
 import os
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
 from sbmc_tpu import ops
 from sbmc_tpu.models import Multisteps
 from sbmc_tpu.parallel.mesh import make_mesh, shard_batch
-from sbmc_tpu.train import (Checkpointer, DenoiserInterface, Trainer,
-                            TrainState)
+from sbmc_tpu.train import Checkpointer, DenoiserInterface, Trainer
 
 ops.set_backend("xla")
 
