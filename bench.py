@@ -55,8 +55,10 @@ def main():
     }
 
     conv_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16") else None
+    kernel_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16_KERNELS")         else None
     model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL,
-                       ksize=KSIZE, conv_dtype=conv_dtype)
+                       ksize=KSIZE, conv_dtype=conv_dtype,
+                       kernel_dtype=kernel_dtype)
     # Uniform tiles: one compiled apply per tile shape; tiles run
     # back-to-back on the chip (stacked apply would also work but a
     # per-tile loop bounds peak HBM).

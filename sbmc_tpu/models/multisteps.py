@@ -44,6 +44,7 @@ class _KernelStage(nn.Module):
     splat: bool
     emit_kernels: bool = False
     conv_dtype: Optional[str] = None
+    kernel_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -55,6 +56,8 @@ class _KernelStage(nn.Module):
                             output_type="linear", dtype=_dt(self.conv_dtype),
                             name="kernel_regressor")(f_in)
         kernels = kernels.transpose(0, 3, 1, 2)  # -> [bs, k2, h, w]
+        if self.kernel_dtype:
+            kernels = kernels.astype(jnp.dtype(self.kernel_dtype))
         state = progressive_kernel_apply(
             crop_like(r_s, kernels), kernels, state, splat=self.splat,
             valid=valid)
@@ -103,6 +106,10 @@ class Multisteps(nn.Module):
     #: rematerialize the embedding/propagation stacks in the backward pass
     #: (trades FLOPs for activation memory; lets larger batches/tiles train)
     remat: bool = False
+    #: dtype of the kernel-logits stream through the splat ops ("bfloat16"
+    #: halves the dominant HBM traffic; ~1% weight noise — inference knob,
+    #: accumulation stays float32)
+    kernel_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, samples):
@@ -190,6 +197,7 @@ class Multisteps(nn.Module):
         (state, _), ys = scan(
             k2=self.ksize * self.ksize, width=self.width, splat=self.splat,
             emit_kernels=self.return_kernels, conv_dtype=self.conv_dtype,
+            kernel_dtype=self.kernel_dtype,
             name="kernel_stage")((state0, propagated), xs)
 
         output = state.sum_r / (state.sum_w + self.eps)

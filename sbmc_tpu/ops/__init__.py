@@ -123,7 +123,7 @@ _scatter2gather.defvjp(_scatter2gather_fwd, _scatter2gather_bwd)
 def _s2g_max_impl(weights, backend):
     if backend == "xla":
         g = reference.scatter2gather_ref(weights)
-        return g, jnp.max(g, axis=1)
+        return g, jnp.max(g.astype(jnp.float32), axis=1)
     return pallas_kernels.scatter2gather_max_pallas(
         weights, interpret=(backend == "pallas_interpret"))
 
@@ -131,7 +131,7 @@ def _s2g_max_impl(weights, backend):
 def _kw_exp_impl(data, logits, maxes, backend):
     if backend == "xla":
         return reference.kernel_weighting_ref(
-            data, jnp.exp(logits - maxes[:, None]))
+            data, jnp.exp(logits.astype(jnp.float32) - maxes[:, None]))
     return pallas_kernels.kernel_weighting_exp_pallas(
         data, logits, maxes, interpret=(backend == "pallas_interpret"))
 
@@ -161,7 +161,7 @@ def _psu_bwd(backend, res, cts):
     # reference autograd up to the 1e-8 normalizer epsilon.
     data, klogits, new_max, scaler = res
     d_sum_r_new, d_sum_w_new, _d_max = cts
-    g, _ = _s2g_max_impl(klogits, backend)
+    g, _ = _s2g_max_impl(klogits.astype(jnp.float32), backend)
     e = jnp.exp(g - new_max)
     d_sum_r = d_sum_r_new * scaler
     d_sum_w = d_sum_w_new * scaler
@@ -169,7 +169,7 @@ def _psu_bwd(backend, res, cts):
     d_w = d_sum_w_new[:, 0]
     d_data, _ = _kw_fwd_impl(d_r, _s2g_impl(e, backend), backend)
     d_e = _kw_dw_impl(data, d_r, d_w, klogits.shape[1], backend)
-    d_klogits = _s2g_impl(e * d_e, backend)
+    d_klogits = _s2g_impl(e * d_e, backend).astype(klogits.dtype)
     d_max_w = jnp.zeros_like(new_max)
     return d_data, d_klogits, d_sum_r, d_sum_w, d_max_w
 

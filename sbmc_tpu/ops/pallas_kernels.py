@@ -48,10 +48,11 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _pick_blocks(h, w, block_h, block_w):
-    """(TH, TW) tile sizes aligned to the f32 (8, 128) vector tile."""
+def _pick_blocks(h, w, block_h, block_w, dtype=None):
+    """(TH, TW) tile sizes aligned to the vector tile of ``dtype``
+    ((8, 128) for f32, (16, 128) for bf16)."""
     if block_h is None:
-        block_h = 8
+        block_h = 16 if dtype == jnp.bfloat16 else 8
     if block_w is None:
         block_w = 128 if w <= 256 else 256
     return block_h, block_w
@@ -170,7 +171,7 @@ def _kw_exp_kernel(dp_ref, w_ref, m_ref, out_ref, sw_ref, scratch, sem, *,
     cp.start()
 
     m = m_ref[0, 0]                       # (TH, TW)
-    w = jnp.exp(w_ref[0] - m[None])       # (K2, TH, TW), fused softmax-exp
+    w = jnp.exp(w_ref[0].astype(jnp.float32) - m[None])  # fused softmax-exp
     sw_ref[0] = jnp.sum(w, axis=0)
 
     cp.wait()
@@ -202,7 +203,7 @@ def kernel_weighting_exp_pallas(data, logits, maxes, *, block_h=None,
     k2 = logits.shape[1]
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, logits.dtype)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -364,7 +365,7 @@ def _s2g_max_kernel(wp_ref, out_ref, kmax_ref, scratch, sems, *,
         for dx in range(K):
             v = scratch[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
             out_ref[0, dy * K + dx] = v
-            m = jnp.maximum(m, v)
+            m = jnp.maximum(m, v.astype(jnp.float32))
     kmax_ref[0] = m
 
 
@@ -380,9 +381,11 @@ def scatter2gather_max_pallas(weights, *, block_h=None, block_w=None,
     bs, k2, h, w = weights.shape
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    dt = weights.dtype
+    sub = 16 if dt == jnp.bfloat16 else 8
+    TH, TW = _pick_blocks(h, w, block_h, block_w, dt)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
-    RH = _round_up(TH + K - 1, 8)
+    RH = _round_up(TH + K - 1, sub)
     RW = _round_up(TW + K - 1, 128)
 
     wpad = _pad_halo(weights, o, hp, wp, RH, RW, TH, TW)
@@ -399,11 +402,11 @@ def scatter2gather_max_pallas(weights, *, block_h=None, block_w=None,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bs, k2, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bs, k2, hp, wp), dt),
             jax.ShapeDtypeStruct((bs, hp, wp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, K, RH, RW), jnp.float32),
+            pltpu.VMEM((2, K, RH, RW), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

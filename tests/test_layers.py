@@ -252,3 +252,19 @@ class TestFusedProgressive:
             fused=True, valid=jnp.array([False]))
         for a, b in zip(state, state2):
             assert np.allclose(np.array(a), np.array(b))
+
+    def test_fused_bf16_kernel_stream(self, rng):
+        """bf16 kernel logits through the fused op stay close to f32."""
+        k, h, w = 5, 16, 16
+        data = rng.randn(1, 3, h, w).astype(np.float32)
+        kern = (rng.randn(1, k * k, h, w) * 0.3).astype(np.float32)
+        state = progressive_init(1, 3, h, w)
+        a = progressive_kernel_apply(jnp.array(data), jnp.array(kern),
+                                     state, splat=True)
+        b = progressive_kernel_apply(
+            jnp.array(data), jnp.array(kern).astype(jnp.bfloat16),
+            state, splat=True)
+        out_a = np.array(a.sum_r / (a.sum_w + 1e-8))
+        out_b = np.array(b.sum_r / (b.sum_w + 1e-8))
+        rel = np.abs(out_a - out_b) / (np.abs(out_a) + 1e-2)
+        assert rel.max() < 0.02
