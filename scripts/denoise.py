@@ -95,6 +95,9 @@ def main(args):
                  for k, v in item.items()}
         scene = os.path.basename(data.get_scene_name(scene_id))
         log.info("  scene %s", scene)
+        # With multiple scenes, suffix the output path per scene so results
+        # are not overwritten (single-scene keeps the exact path).
+        out_path = args.output if len(data) == 1 else             args.output.replace(".exr", "_%s.exr" % scene)
         if args.uniform_tiles:
             from sbmc_tpu.parallel.tiles import split_tiles_uniform
             stacked0, _ = split_tiles_uniform(batch, tile=args.tile_size,
@@ -126,14 +129,14 @@ def main(args):
         if args.uniform_tiles:
             canvas = denoise_uniform(params, batch, log)
             out_radiance = np.asarray(canvas)[0].transpose(1, 2, 0)
-            outdir = os.path.dirname(args.output)
+            outdir = os.path.dirname(out_path)
             if outdir:
                 os.makedirs(outdir, exist_ok=True)
-            exr.write(args.output, out_radiance)
-            png = args.output.replace(".exr", ".png")
+            exr.write(out_path, out_radiance)
+            png = out_path.replace(".exr", ".png")
             imageio.imwrite(
                 png, (np.clip(out_radiance, 0, 1) * 255).astype(np.uint8))
-            log.info("    wrote %s / %s", args.output, png)
+            log.info("    wrote %s / %s", out_path, png)
             continue
 
         devices = jax.local_devices()[:args.num_devices] \
@@ -173,14 +176,14 @@ def main(args):
         merge_tiles(canvas, merged)
 
         out_radiance = canvas[0].transpose(1, 2, 0)
-        outdir = os.path.dirname(args.output)
+        outdir = os.path.dirname(out_path)
         if outdir:
             os.makedirs(outdir, exist_ok=True)
-        exr.write(args.output, out_radiance)
-        png = args.output.replace(".exr", ".png")
+        exr.write(out_path, out_radiance)
+        png = out_path.replace(".exr", ".png")
         imageio.imwrite(
             png, (np.clip(out_radiance, 0, 1) * 255).astype(np.uint8))
-        log.info("    wrote %s / %s", args.output, png)
+        log.info("    wrote %s / %s", out_path, png)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,38 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
             data, wts, *st)
 
 
+def model_variants(jax, jnp):
+    """Time the flagship model per 512^2 4spp tile across precision
+    variants to pick bench defaults."""
+    print("== full-model variants (512^2, 4 spp, one tile) ==", flush=True)
+    from sbmc_tpu.models import Multisteps
+    rng = np.random.RandomState(0)
+    batch = {
+        "radiance": rng.rand(1, 4, 3, 512, 512).astype(np.float32),
+        "features": rng.rand(1, 4, 93, 512, 512).astype(np.float32),
+        "global_features": rng.rand(1, 3, 1, 1).astype(np.float32),
+    }
+    for name, kw in [
+            ("f32", {}),
+            ("conv_bf16", {"conv_dtype": "bfloat16"}),
+            ("kernel_bf16", {"kernel_dtype": "bfloat16"}),
+            ("both_bf16", {"conv_dtype": "bfloat16",
+                           "kernel_dtype": "bfloat16"})]:
+        try:
+            model = Multisteps(n_features=93, n_global_features=3, **kw)
+            params = model.init(jax.random.PRNGKey(0), batch)
+            fn = jax.jit(model.apply)
+            out = jax.block_until_ready(fn(params, batch)["radiance"])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fn(params, batch)["radiance"]
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / 5
+            print(f"  {name:12s}: {dt*1e3:7.1f} ms/tile", flush=True)
+        except Exception as e:
+            print(f"  {name:12s}: FAILED {str(e)[:100]}", flush=True)
+
+
 def bench_model(jax, jnp):
     print("== full-model 1080p 4spp tiled denoise ==", flush=True)
     import subprocess
@@ -196,6 +228,8 @@ def main(args):
         bench_ops(jax, jnp, ops, pallas_kernels)
     if args.train:
         train_steps(jax, jnp)
+    if args.model_variants:
+        model_variants(jax, jnp)
     if args.bench_model:
         bench_model(jax, jnp)
     print("TPU_SESSION_DONE", flush=True)
@@ -213,5 +247,9 @@ if __name__ == "__main__":
     parser.add_argument("--no-train", dest="train", action="store_false")
     parser.add_argument("--bench_model", action="store_true", default=True)
     parser.add_argument("--no-bench_model", dest="bench_model",
+                        action="store_false")
+    parser.add_argument("--model_variants", action="store_true",
+                        default=True)
+    parser.add_argument("--no-model_variants", dest="model_variants",
                         action="store_false")
     main(parser.parse_args())
