@@ -69,7 +69,8 @@ class Loader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, pad_spp=None,
-                 num_threads=4, prefetch=4, drop_last=True, seed=0):
+                 num_threads=4, prefetch=4, drop_last=True, seed=0,
+                 shard_id=0, num_shards=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -78,15 +79,23 @@ class Loader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self._rng = np.random.RandomState(seed)
+        # Multi-host input sharding: each host reads a strided subset (the
+        # reference's shard-by-worker-id pattern,
+        # scripts/generate_training_data.py:377-385, applied to loading).
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+
+    def _indices(self):
+        return np.arange(len(self.dataset))[self.shard_id::self.num_shards]
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
-        idx = np.arange(len(self.dataset))
+        idx = self._indices()
         if self.shuffle:
             self._rng.shuffle(idx)
         nb = len(self)

@@ -226,3 +226,17 @@ class TestLoader:
         a = [b["path"] for b in Loader(d, batch_size=1, shuffle=True, seed=1)]
         b = [b["path"] for b in Loader(d, batch_size=1, shuffle=True, seed=1)]
         assert a == b
+
+
+class TestLoaderSharding:
+    def test_shards_partition_dataset(self, tmp_path, rng):
+        _write_scene(str(tmp_path), "s", rng, tiles=4, spp=2)
+        d = TilesDataset(str(tmp_path), spp=2)
+        seen = []
+        for shard in range(2):
+            loader = Loader(d, batch_size=1, shuffle=False, shard_id=shard,
+                            num_shards=2, drop_last=False)
+            assert len(loader) == 2
+            for b in loader:
+                seen.extend(b["path"])
+        assert sorted(seen) == sorted(d.files)
