@@ -51,11 +51,14 @@ class _KernelStage(nn.Module):
         state, propagated = carry
         f_s, r_s, valid = xs  # [bs,h,w,e], [bs,3,h,w], [bs]
         f_in = jnp.concatenate([f_s, propagated], axis=-1)
+        # The prediction layer writes NCHW directly: the splat ops want
+        # spatial-last, and emitting it from the conv epilogue saves a full
+        # read+write pass over the k^2-plane tensor per sample.
         kernels = ConvChain(self.k2, depth=3, width=self.width, ksize=1,
                             activation="leaky_relu", pad=False,
                             output_type="linear", dtype=_dt(self.conv_dtype),
+                            out_layout="NCHW",
                             name="kernel_regressor")(f_in)
-        kernels = kernels.transpose(0, 3, 1, 2)  # -> [bs, k2, h, w]
         if self.kernel_dtype:
             kernels = kernels.astype(jnp.dtype(self.kernel_dtype))
         state = progressive_kernel_apply(

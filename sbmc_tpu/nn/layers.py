@@ -80,6 +80,11 @@ class WNConv2D(nn.Module):
     weight_norm: bool = True
     init_gain_nonlinearity: str = "linear"
     dtype: Optional[jnp.dtype] = None
+    #: "NHWC" (default) or "NCHW": output layout of the convolution. NCHW
+    #: lets a consumer that wants spatial-last data (the splat ops) receive
+    #: it directly from the conv epilogue instead of via an extra
+    #: full-tensor transpose pass.
+    out_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
@@ -108,9 +113,11 @@ class WNConv2D(nn.Module):
             x, kernel,
             window_strides=(self.stride, self.stride),
             padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", self.out_layout),
             preferred_element_type=jnp.float32,
         )
+        if self.out_layout == "NCHW":
+            return y.astype(out_dtype) + bias[:, None, None]
         return y.astype(out_dtype) + bias
 
 
@@ -133,6 +140,8 @@ class ConvChain(nn.Module):
     activation: str = "relu"
     weight_norm: bool = True
     dtype: Optional[jnp.dtype] = None
+    #: output layout of the *prediction* layer ("NHWC" or "NCHW").
+    out_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
@@ -153,7 +162,8 @@ class ConvChain(nn.Module):
         x = WNConv2D(self.noutputs, self.ksize, stride=self.stride,
                      pad=self.pad, weight_norm=self.weight_norm,
                      init_gain_nonlinearity=out_gain,
-                     dtype=self.dtype, name="prediction")(x)
+                     dtype=self.dtype, out_layout=self.out_layout,
+                     name="prediction")(x)
         if self.output_type != "linear":
             x = _activation(self.output_type)(x)
         return x
