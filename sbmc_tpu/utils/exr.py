@@ -147,6 +147,19 @@ def _read_attrs(f):
     return attrs
 
 
+def _native_read(path):
+    """Decode via the OpenEXRCore bridge; returns the read_channels result
+    or None when the bridge is unavailable."""
+    from sbmc_tpu.utils import _native_exr
+    mod = _native_exr.get()
+    if mod is None:
+        return None
+    names, planes, h, w = mod.read(path)
+    out = {name: np.frombuffer(buf, np.float32).reshape(h, w)
+           for name, buf in zip(names, planes)}
+    return out, (h, w)
+
+
 def _parse_chlist(data):
     chans = []
     off = 0
@@ -161,7 +174,11 @@ def _parse_chlist(data):
 
 
 def read_channels(path):
-    """Read an EXR; returns (dict name -> [h, w] float32 array, (h, w))."""
+    """Read an EXR; returns (dict name -> [h, w] float32 array, (h, w)).
+
+    Compressions beyond NONE/ZIP/ZIPS (PIZ, PXR24, DWA, ...) are handled by
+    the optional OpenEXRCore native bridge when available.
+    """
     with open(path, "rb") as f:
         magic, _version = struct.unpack("<ii", f.read(8))
         if magic != _MAGIC:
@@ -170,8 +187,12 @@ def read_channels(path):
         chans = _parse_chlist(attrs["channels"][1])
         comp_id = attrs["compression"][1][0]
         if comp_id not in _ZIP_BLOCK:
+            native = _native_read(path)
+            if native is not None:
+                return native
             raise NotImplementedError(
-                f"unsupported EXR compression id {comp_id}")
+                f"unsupported EXR compression id {comp_id} (and the "
+                "OpenEXRCore native bridge is unavailable)")
         x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"][1])
         w, h = x1 - x0 + 1, y1 - y0 + 1
 

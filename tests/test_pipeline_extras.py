@@ -294,3 +294,21 @@ class TestUniformTiles:
         c = 8
         assert np.allclose(uni[..., c:-c, c:-c], rag[..., c:-c, c:-c],
                            atol=1e-6)
+
+
+class TestNativeExr:
+    def test_reads_piz_fixture(self):
+        """PIZ-compressed EXRs (the reference artifact compression) decode
+        through the OpenEXRCore bridge; fixture written by libOpenEXR with
+        deterministic values."""
+        from sbmc_tpu.utils import _native_exr
+        if _native_exr.get() is None:
+            pytest.skip("native EXR bridge unavailable")
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "piz_rgb_64x48.exr")
+        im = exr.read(path)
+        w, h = 64, 48
+        i = np.arange(w * h).reshape(h, w)
+        expect = np.stack([(i % 97) / 97.0, (i % 31) / 31.0,
+                           (i % 13) / 13.0], -1).astype(np.float32)
+        np.testing.assert_array_equal(im, expect)
