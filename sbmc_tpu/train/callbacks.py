@@ -69,25 +69,39 @@ class ProgressCallback(Callback):
 
 
 class CheckpointingCallback(Callback):
-    """Periodic + end-of-epoch checkpointing (ttools role)."""
+    """Periodic + end-of-epoch checkpointing (ttools role).
+
+    Refuses to persist non-finite parameters: a diverging step can poison
+    the params one step before the (lagged) NaN-loss guard fires, and a
+    poisoned checkpoint would shadow the last good one.
+    """
 
     def __init__(self, checkpointer, get_state, interval_steps=1000):
         self.checkpointer = checkpointer
         self.get_state = get_state
         self.interval_steps = interval_steps
 
+    def _save(self, state, step, tag=None):
+        import jax
+        finite = all(bool(np.isfinite(np.asarray(x)).all())
+                     for x in jax.tree.leaves(state.params))
+        if not finite:
+            LOG.warning("refusing to checkpoint non-finite parameters at "
+                        "step %s", step)
+            return
+        self.checkpointer.save(state, step, tag=tag)
+
     def batch_end(self, step, metrics):
         if step > 0 and step % self.interval_steps == 0:
-            self.checkpointer.save(self.get_state(), step)
+            self._save(self.get_state(), step)
 
     def epoch_end(self, epoch):
         state = self.get_state()
-        self.checkpointer.save(state, int(np.asarray(state.step)))
+        self._save(state, int(np.asarray(state.step)))
 
     def training_end(self):
         state = self.get_state()
-        self.checkpointer.save(state, int(np.asarray(state.step)),
-                               tag="final")
+        self._save(state, int(np.asarray(state.step)), tag="final")
 
 
 class ScalarLogCallback(Callback):
