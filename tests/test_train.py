@@ -12,7 +12,8 @@ import pytest
 from sbmc_tpu import ops
 from sbmc_tpu.models import Multisteps
 from sbmc_tpu.parallel.mesh import make_mesh, shard_batch
-from sbmc_tpu.train import Checkpointer, DenoiserInterface, Trainer
+from sbmc_tpu.train import (Checkpointer, DenoiserInterface, Trainer,
+                            TrainState)
 
 ops.set_backend("xla")
 
@@ -185,3 +186,17 @@ class TestCheckpointCompat:
         with pytest.raises(RuntimeError):
             trainer.train(state, [b, bad, b], num_epochs=1)
         assert ckpt.load_latest(state)[1] is None  # nothing was saved
+
+    def test_checkpoint_callback_skips_nonfinite(self, tmp_path, rng):
+        from sbmc_tpu.train import callbacks
+        iface = _small_interface()
+        b = _batch(rng)
+        state = iface.init(jax.random.PRNGKey(0), b)
+        bad_params = jax.tree.map(lambda x: x * np.nan, state.params)
+        bad_state = TrainState(params=bad_params, opt_state=state.opt_state,
+                               step=state.step)
+        ckpt = Checkpointer(str(tmp_path / "c"), meta={})
+        cb = callbacks.CheckpointingCallback(ckpt, lambda: bad_state,
+                                             interval_steps=1)
+        cb.epoch_end(0)
+        assert ckpt.load_latest(state)[1] is None
