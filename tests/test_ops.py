@@ -295,3 +295,34 @@ def test_oracle_grad_matches_custom_vjp(rng):
         jnp.array(data), jnp.array(wts), jnp.array(d_out), jnp.array(d_sw))
     assert np.allclose(np.array(d_data), np.array(dd_ref), atol=1e-5)
     assert np.allclose(np.array(d_weights), np.array(dw_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(5, 7), (3, 200), (130, 3), (8, 128)])
+def test_pallas_small_and_odd_shapes(shape, rng):
+    """Shapes below/straddling one tile exercise the halo padding math."""
+    h, w = shape
+    k = 3
+    data = rng.randn(1, 2, h, w).astype(np.float32)
+    wts = rng.randn(1, k * k, h, w).astype(np.float32)
+    out_x, sw_x = ops.kernel_weighting(jnp.array(data), jnp.array(wts),
+                                       backend="xla")
+    out_p, sw_p = ops.kernel_weighting(jnp.array(data), jnp.array(wts),
+                                       backend="pallas_interpret")
+    assert np.allclose(np.array(out_x), np.array(out_p), atol=1e-5)
+    s_x = ops.scatter2gather(jnp.array(wts), backend="xla")
+    s_p = ops.scatter2gather(jnp.array(wts), backend="pallas_interpret")
+    assert np.allclose(np.array(s_x), np.array(s_p), atol=1e-6)
+
+
+def test_fused_update_interpret_small(rng):
+    h, w, k = 6, 9, 3
+    data = rng.randn(1, 3, h, w).astype(np.float32)
+    wts = rng.randn(1, k * k, h, w).astype(np.float32)
+    st = (jnp.zeros((1, 3, h, w)), jnp.zeros((1, 1, h, w)),
+          jnp.full((1, 1, h, w), -1e30))
+    a = ops.progressive_splat_update(jnp.array(data), jnp.array(wts), *st,
+                                     backend="xla")
+    b = ops.progressive_splat_update(jnp.array(data), jnp.array(wts), *st,
+                                     backend="pallas_interpret")
+    for x, y in zip(a, b):
+        assert np.allclose(np.array(x), np.array(y), atol=1e-5)
