@@ -55,32 +55,47 @@ def main():
     }
 
     conv_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16") else None
-    kernel_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16_KERNELS")         else None
+    kernel_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16_KERNELS") \
+        else None
     model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL,
                        ksize=KSIZE, conv_dtype=conv_dtype,
                        kernel_dtype=kernel_dtype)
-    # Uniform tiles: one compiled apply per tile shape; tiles run
-    # back-to-back on the chip (stacked apply would also work but a
-    # per-tile loop bounds peak HBM).
-    stacked, info = split_tiles_uniform(batch, tile=TILE_SIZE, pad=TILE_PAD)
-    n_tiles = stacked["features"].shape[0]
-    tiles = [{k: v[i:i + 1] for k, v in stacked.items()}
-             for i in range(n_tiles)]
 
-    params = model.init(jax.random.PRNGKey(0), tiles[0])
-    apply_fn = jax.jit(model.apply)
+    def run(tile_size, tile_pad):
+        # Uniform tiles: one compiled apply per tile shape; tiles run
+        # back-to-back on the chip (a per-tile loop bounds peak HBM).
+        stacked, _info = split_tiles_uniform(batch, tile=tile_size,
+                                             pad=tile_pad)
+        n_tiles = stacked["features"].shape[0]
+        tiles = [{k: v[i:i + 1] for k, v in stacked.items()}
+                 for i in range(n_tiles)]
+        params = model.init(jax.random.PRNGKey(0), tiles[0])
+        apply_fn = jax.jit(model.apply)
 
-    def denoise_frame():
-        outs = [apply_fn(params, tb)["radiance"] for tb in tiles]
-        jax.block_until_ready(outs)
-        return outs
+        def denoise_frame():
+            outs = [apply_fn(params, tb)["radiance"] for tb in tiles]
+            jax.block_until_ready(outs)
+            return outs
 
-    denoise_frame()  # warmup/compile (single tile shape)
+        denoise_frame()  # warmup/compile (single tile shape)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            denoise_frame()
+        return (time.perf_counter() - t0) / ITERS
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        denoise_frame()
-    dt = (time.perf_counter() - t0) / ITERS
+    # Fall back to smaller tiles if the device runs out of memory.
+    dt = None
+    for tile_size, tile_pad in [(TILE_SIZE, TILE_PAD), (768, 192),
+                                (512, 128)]:
+        try:
+            dt = run(tile_size, min(tile_pad, tile_size // 4))
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or tile_size == 512:
+                raise
+            print(f"# tile {tile_size} OOM, retrying smaller",
+                  file=sys.stderr)
+    assert dt is not None
 
     fps = 1.0 / dt
     print(json.dumps({
