@@ -99,15 +99,23 @@ def random_tracer_scene(rng, n_spheres=6):
     )
 
 
+#: Rays are truncated at this multiple of the scene radius: grazing hits on
+#: the infinite ground plane otherwise record unbounded depth features,
+#: which destabilize training (the reference's PBRT scenes are bounded, so
+#: its depth normalization implicitly assumes this).
+MAX_RAY_FACTOR = 4.0
+
+
 def _intersect(scn, org, dirs, t):
     """Nearest-hit for ray bundles [N, 3]. Returns hit dict."""
     n = org.shape[0]
     inf = jnp.float32(1e10)
+    t_max = jnp.float32(12.0 * MAX_RAY_FACTOR)
 
-    # Ground plane y = 0.
+    # Ground plane y = 0 (treated as environment beyond t_max).
     dy = dirs[:, 1]
     tg = jnp.where(jnp.abs(dy) > 1e-8, -org[:, 1] / dy, inf)
-    tg = jnp.where(tg > 1e-3, tg, inf)
+    tg = jnp.where((tg > 1e-3) & (tg < t_max), tg, inf)
 
     # Spheres (moved by t * motion).
     c = scn["centers"][None] + t[:, None, None] * scn["motion"][None]
