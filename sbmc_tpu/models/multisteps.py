@@ -59,6 +59,11 @@ class _KernelStage(nn.Module):
                             output_type="linear", dtype=_dt(self.conv_dtype),
                             out_layout="NCHW",
                             name="kernel_regressor")(f_in)
+        # Logit safety clamp: the online softmax is shift-invariant, so this
+        # is a no-op for any sane magnitude, but it turns a float32 overflow
+        # (which would make the max subtraction produce inf - inf = NaN)
+        # into a saturating kernel instead. Fuses into the conv epilogue.
+        kernels = jnp.clip(kernels, -3e4, 3e4)
         if self.kernel_dtype:
             kernels = kernels.astype(jnp.dtype(self.kernel_dtype))
         state = progressive_kernel_apply(
