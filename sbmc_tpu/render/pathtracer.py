@@ -50,6 +50,7 @@ class TracerScene:
     radii: np.ndarray        # [n]
     albedos: np.ndarray      # [n, 3]
     mirror: np.ndarray       # [n] in {0,1}: perfect mirror spheres
+    roughness: np.ndarray    # [n] in (0, 1]: glossy lobe width (1 = diffuse)
     motion: np.ndarray       # [n, 3] linear velocity over the shutter
     ground_albedo: np.ndarray  # [3]
     light_pos: np.ndarray    # [3]
@@ -75,6 +76,10 @@ class TracerScene:
 
 def random_tracer_scene(rng, n_spheres=6):
     mirror = (rng.rand(n_spheres) < 0.15).astype(np.float32)
+    # Material mixture in the spirit of the reference randomizers
+    # (sbmc/scene_generator/randomizers.py): some glossy, mostly diffuse.
+    glossy = (rng.rand(n_spheres) < 0.3) & (mirror < 0.5)
+    roughness = np.where(glossy, rng.uniform(0.05, 0.4, n_spheres), 1.0)
     do_motion = rng.rand(n_spheres) < 0.25
     return TracerScene(
         centers=np.stack([rng.uniform(-3, 3, n_spheres),
@@ -83,6 +88,7 @@ def random_tracer_scene(rng, n_spheres=6):
         radii=rng.uniform(0.3, 1.0, n_spheres),
         albedos=rng.uniform(0.1, 0.9, (n_spheres, 3)),
         mirror=mirror,
+        roughness=roughness,
         motion=rng.normal(0, 0.15, (n_spheres, 3)) * do_motion[:, None],
         ground_albedo=rng.uniform(0.2, 0.8, 3),
         light_pos=np.array([rng.uniform(-4, 4), rng.uniform(4, 8),
@@ -151,10 +157,11 @@ def _intersect(scn, org, dirs, t):
     albedo = jnp.where(hit_sphere[:, None], s_alb, g_alb)
     albedo = jnp.where(hit[:, None], albedo, 0.0)
     is_mirror = jnp.where(hit_sphere, scn["mirror"][s_idx] > 0.5, False)
+    rough = jnp.where(hit_sphere, scn["roughness"][s_idx], 1.0)
 
     return {"hit": hit, "id": hid, "t": jnp.where(hit, best_t, 0.0),
             "p": p, "normal": normal, "albedo": albedo,
-            "mirror": is_mirror}
+            "mirror": is_mirror, "roughness": rough}
 
 
 def _occluded(scn, org, dirs, dist):
@@ -331,10 +338,24 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
         f["dist_so_far"] = jnp.where(hit, dist_here, f["dist_so_far"])
 
         # --- sample the BSDF for the next segment ------------------------
-        d_diff, pdf_diff = _cosine_sample(k_bsdf, rec["normal"])
+        # Diffuse: cosine lobe around the normal. Glossy: the same sampler
+        # around the mirror direction, blended by roughness (a cheap
+        # Phong-style lobe). Mirror: delta reflection.
         d_mirr = state["dirs"] - 2 * jnp.sum(
             state["dirs"] * rec["normal"], -1, keepdims=True) * rec["normal"]
-        next_dir = jnp.where(rec["mirror"][:, None], d_mirr, d_diff)
+        d_diff, pdf_diff = _cosine_sample(k_bsdf, rec["normal"])
+        d_gloss, _ = _cosine_sample(
+            jax.random.fold_in(k_bsdf, 1), d_mirr)
+        r1 = rec["roughness"][:, None]
+        d_rough = d_mirr * (1 - r1) + d_gloss * r1
+        d_rough = d_rough / (jnp.linalg.norm(d_rough, -1, keepdims=True)
+                             + 1e-12)
+        # Keep glossy bounces above the surface.
+        below = jnp.sum(d_rough * rec["normal"], -1, keepdims=True) < 0
+        d_rough = jnp.where(below, d_diff, d_rough)
+        is_glossy = (~rec["mirror"]) & (rec["roughness"] < 0.999)
+        next_dir = jnp.where(rec["mirror"][:, None], d_mirr,
+                             jnp.where(is_glossy[:, None], d_rough, d_diff))
         bsdf_pdf = jnp.where(rec["mirror"], 1.0, pdf_diff)
         # Lambertian throughput: albedo (cosine-weighted pdf cancels cos/pi)
         beta = state["beta"] * jnp.where(rec["mirror"][:, None], 1.0,
@@ -352,9 +373,9 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
             jnp.where(vis, 1.0, 0.0)], -1)
         bt = jnp.where(
             hit,
-            jnp.where(rec["mirror"],
-                      BT_REFLECTION | BT_SPECULAR,
-                      BT_REFLECTION | BT_DIFFUSE),
+            jnp.where(rec["mirror"], BT_REFLECTION | BT_SPECULAR,
+                      jnp.where(is_glossy, BT_REFLECTION | BT_GLOSSY,
+                                BT_REFLECTION | BT_DIFFUSE)),
             0).astype(jnp.int16)
 
         new_state = {

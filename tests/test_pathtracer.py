@@ -15,6 +15,7 @@ def _simple_scene(mirror=0.0, aperture=0.0, motion=0.0):
         radii=np.array([1.0]),
         albedos=np.array([[0.8, 0.2, 0.2]]),
         mirror=np.array([mirror]),
+        roughness=np.array([1.0]),
         motion=np.array([[motion, 0.0, 0.0]]),
         ground_albedo=np.array([0.5, 0.5, 0.5]),
         light_pos=np.array([0.0, 6.0, 3.0]),
@@ -103,3 +104,11 @@ class TestWavefront:
             return tile.features[:, 20].std(axis=0).mean()  # hasHit spread
 
         assert hit_variance(moving) > hit_variance(still) + 1e-4
+
+    def test_glossy_flags(self):
+        scene = _simple_scene()
+        scene.roughness = np.array([0.2])  # glossy sphere
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(6), ts=24,
+                                     spp=1, gt_spp=1)
+        flags = set(np.unique(tile.bt[0, 0]).tolist())
+        assert (pathtracer.BT_REFLECTION | pathtracer.BT_GLOSSY) in flags
