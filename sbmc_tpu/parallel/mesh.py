@@ -49,3 +49,25 @@ def replicate(tree, mesh):
     """Replicate a pytree (e.g. params) across the mesh."""
     repl = NamedSharding(mesh, P())
     return jax.device_put(tree, repl)
+
+
+def maybe_init_distributed():
+    """Initialize jax.distributed for multi-host training when the standard
+    coordination env vars are present (no-op on a single host).
+
+    Reads ``SBMC_COORDINATOR`` (address:port), ``SBMC_NUM_PROCESSES`` and
+    ``SBMC_PROCESS_ID`` — or defers to jax's own autodetection when running
+    under a recognized cluster environment. Returns (process_index,
+    process_count).
+    """
+    import os
+
+    import jax
+
+    coord = os.environ.get("SBMC_COORDINATOR")
+    if coord and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["SBMC_NUM_PROCESSES"]),
+            process_id=int(os.environ["SBMC_PROCESS_ID"]))
+    return jax.process_index(), jax.process_count()

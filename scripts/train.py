@@ -24,7 +24,7 @@ def main(args):
     from sbmc_tpu.data import (Loader, MultiSampleCountDataset, TilesDataset)
     from sbmc_tpu.models import KPCN, Multisteps
     from sbmc_tpu.models.build import model_meta
-    from sbmc_tpu.parallel.mesh import make_mesh
+    from sbmc_tpu.parallel.mesh import make_mesh  # noqa: F401
     from sbmc_tpu.train import (Checkpointer, DenoiserInterface, Trainer,
                                 callbacks)
     from sbmc_tpu.utils.logging import get_logger, set_logger
@@ -32,6 +32,11 @@ def main(args):
     set_logger(args.verbose)
     log = get_logger("sbmc_tpu.train")
     np.random.seed(0)
+
+    from sbmc_tpu.parallel.mesh import maybe_init_distributed
+    proc_id, n_procs = maybe_init_distributed()
+    if n_procs > 1:
+        log.info("Multi-host: process %d of %d", proc_id, n_procs)
 
     data_args = dict(
         spp=args.spp,
@@ -85,7 +90,8 @@ def main(args):
     checkpointer = Checkpointer(args.checkpoint_dir, meta=meta)
 
     loader = Loader(data, batch_size=args.bs, shuffle=True, pad_spp=pad_spp,
-                    num_threads=args.num_worker_threads)
+                    num_threads=args.num_worker_threads,
+                    shard_id=proc_id, num_shards=n_procs)
     val_loader = None
     if val_data is not None:
         val_loader = Loader(val_data, batch_size=args.bs, shuffle=False,
