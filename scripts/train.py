@@ -38,6 +38,12 @@ def main(args):
     if n_procs > 1:
         log.info("Multi-host: process %d of %d", proc_id, n_procs)
 
+    if args.profile_port:
+        # Live profiler endpoint (connect with TensorBoard / xprof), the
+        # observability analog of the reference's visdom port.
+        jax.profiler.start_server(args.profile_port)
+        log.info("jax.profiler server on port %d", args.profile_port)
+
     data_args = dict(
         spp=args.spp,
         mode=TilesDataset.KPCN_MODE if args.kpcn_mode
@@ -161,5 +167,7 @@ if __name__ == "__main__":
     parser.add_argument("--bf16", action="store_true",
                         help="run the conv stacks in bfloat16 (MXU-native; "
                         "params and the splat path stay float32)")
+    parser.add_argument("--profile_port", type=int, default=None,
+                        help="start a jax.profiler server on this port")
     parser.add_argument("--verbose", action="store_true")
     main(parser.parse_args())
