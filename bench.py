@@ -1,19 +1,29 @@
 #!/usr/bin/env python
 """Headline benchmark: full-frame 1080p denoise throughput at 4 spp on one
 chip (the BASELINE.json north-star metric), using the reference's tiled
-inference protocol (scripts/denoise.py: overlap-tiled full frames,
-wall-clock with device-sync fences).
+inference protocol (scripts/denoise.py: overlap-tiled full frames).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Timing methodology (tunnel-proof): on the remote/tunneled TPU backends,
+``jax.block_until_ready`` does not fence device execution and a host fetch
+carries a large fixed round-trip latency. So one *frame* (all overlap
+tiles, via ``lax.map``) is a single compiled dispatch, K frames are chained
+inside one jit by a ``lax.scan`` whose carry feeds back into the frame
+input (defeating loop-invariant code motion), and the per-frame time is the
+wall-clock *difference* between a (1+K)-frame chain and a 1-frame chain —
+the fixed dispatch/fetch overhead cancels.
 
 The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline``
 is computed against a documented estimate of the reference CUDA/Halide
 pipeline on a V100: the SBMC paper reports multi-second full-frame denoises
 at 1080p-class resolutions; we use 0.5 frames/s as the V100 reference
-point. This constant is an estimate, recorded here for transparency.
+point. This constant is an estimate, recorded here for transparency (and in
+the emitted JSON as ``baseline_estimate``).
 """
 
+import functools
 import json
 import os
 import sys
@@ -36,23 +46,28 @@ W = int(os.environ.get("SBMC_BENCH_W", 1920))
 SPP = int(os.environ.get("SBMC_BENCH_SPP", 4))
 N_FEATURES = 93         # all sample features enabled (sbmc mode)
 N_GLOBAL = 3
-TILE_SIZE = int(os.environ.get("SBMC_BENCH_TILE", 1024))
-TILE_PAD = int(os.environ.get("SBMC_BENCH_PAD", 256))
-ITERS = int(os.environ.get("SBMC_BENCH_ITERS", 3))
+TILE_SIZE = int(os.environ.get("SBMC_BENCH_TILE", 0)) or None
+TILE_PAD = int(os.environ.get("SBMC_BENCH_PAD", 0)) or None
+ITERS = int(os.environ.get("SBMC_BENCH_ITERS", 4))
 KSIZE = int(os.environ.get("SBMC_BENCH_KSIZE", 21))
+
+
+def _is_oom(e):
+    # TPU OOMs surface under several spellings: HBM exhaustion is
+    # RESOURCE_EXHAUSTED, while Pallas scoped-VMEM overflows come back as
+    # "Internal: ... Ran out of memory in memory space vmem" (round 1's
+    # bench died because only the first was matched).
+    msg = str(e).lower()
+    return ("resource_exhausted" in msg or "ran out of memory" in msg
+            or "out of memory" in msg or "vmem" in msg)
 
 
 def main():
     import jax
+    import jax.numpy as jnp
     from sbmc_tpu.models import Multisteps
-    from sbmc_tpu.parallel.tiles import split_tiles_uniform
-
-    rng = np.random.RandomState(0)
-    batch = {
-        "radiance": rng.rand(1, SPP, 3, H, W).astype(np.float32),
-        "features": rng.rand(1, SPP, N_FEATURES, H, W).astype(np.float32),
-        "global_features": rng.rand(1, N_GLOBAL, 1, 1).astype(np.float32),
-    }
+    from sbmc_tpu.parallel.tiles import merge_tiles_uniform, \
+        split_tiles_uniform
 
     conv_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16") else None
     kernel_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16_KERNELS") \
@@ -62,39 +77,88 @@ def main():
                        kernel_dtype=kernel_dtype)
 
     def run(tile_size, tile_pad):
-        # Uniform tiles: one compiled apply per tile shape; tiles run
-        # back-to-back on the chip (a per-tile loop bounds peak HBM).
-        stacked, _info = split_tiles_uniform(batch, tile=tile_size,
-                                             pad=tile_pad)
-        n_tiles = stacked["features"].shape[0]
-        tiles = [{k: v[i:i + 1] for k, v in stacked.items()}
-                 for i in range(n_tiles)]
-        params = model.init(jax.random.PRNGKey(0), tiles[0])
-        apply_fn = jax.jit(model.apply)
+        # Geometry from the uniform-tile splitter (cheap dummy frame — the
+        # benchmark content is random anyway, and generating tile inputs
+        # *on device, inside the frame* avoids both a multi-GB host->device
+        # upload (which a tunneled TPU link cannot sustain) and holding the
+        # whole frame's tile stack in HBM. Generating a tile's input is one
+        # HBM write pass, i.e. the same traffic the reference pays to read
+        # its resident input, so the protocol stays comparable.
+        dummy = {"features": np.zeros((1, 1, 1, H, W), np.float32)}
+        _, info = split_tiles_uniform(dummy, tile=tile_size, pad=tile_pad)
+        n_tiles = info["ny"] * info["nx"]
 
-        def denoise_frame():
-            outs = [apply_fn(params, tb)["radiance"] for tb in tiles]
-            jax.block_until_ready(outs)
-            return outs
+        def make_tile(key):
+            ks = jax.random.split(key, 3)
+            return {
+                "radiance": jax.random.uniform(
+                    ks[0], (1, SPP, 3, tile_size, tile_size)),
+                "features": jax.random.uniform(
+                    ks[1], (1, SPP, N_FEATURES, tile_size, tile_size)),
+                "global_features": jax.random.uniform(
+                    ks[2], (1, N_GLOBAL, 1, 1)),
+            }
 
-        denoise_frame()  # warmup/compile (single tile shape)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            denoise_frame()
-        return (time.perf_counter() - t0) / ITERS
+        shapes = jax.eval_shape(make_tile, jax.random.PRNGKey(1))
+        params = model.init(jax.random.PRNGKey(0), {
+            k: np.zeros(v.shape, np.float32) for k, v in shapes.items()})
 
-    # Fall back to smaller tiles if the device runs out of memory.
+        def frame(params, key):
+            # One frame = all overlap tiles, sequentially on-device (lax.map
+            # bounds peak HBM to one tile's working set).
+            def tile_fn(k):
+                return model.apply(params, make_tile(k))["radiance"][0]
+            return jax.lax.map(tile_fn, jax.random.split(key, n_tiles))
+
+        @functools.partial(jax.jit, static_argnames="k")
+        def chain(params, key, k):
+            def body(carry, _):
+                i, acc, _prev = carry
+                # Per-frame key depends on the carry -> no loop hoisting.
+                outs = frame(params, jax.random.fold_in(key, i))
+                return (i + 1, acc + jnp.mean(outs), outs), None
+            crop = KSIZE - 1
+            (_, acc, outs), _ = jax.lax.scan(
+                body, (jnp.int32(0), jnp.float32(0),
+                       jnp.zeros((n_tiles, 3, tile_size - crop,
+                                  tile_size - crop))),
+                None, length=k)
+            return acc, outs
+
+        def timed(k):
+            t0 = time.perf_counter()
+            acc, _ = chain(params, jax.random.PRNGKey(2), k)
+            float(acc)
+            return time.perf_counter() - t0
+
+        # Compile both chain lengths, then correctness-check the stitched
+        # frame from the 1-chain before timing.
+        timed(1)
+        acc, outs = chain(params, jax.random.PRNGKey(2), 1)
+        outs = np.asarray(outs)
+        assert np.isfinite(outs).all()
+        merged = merge_tiles_uniform(outs, info)
+        assert merged.shape[-2:] == (H, W)
+        timed(1 + ITERS)     # compile (1+K)-chain
+        t1 = min(timed(1) for _ in range(2))
+        t2 = timed(1 + ITERS)
+        return max(t2 - t1, 1e-9) / ITERS, n_tiles
+
     dt = None
-    for tile_size, tile_pad in [(TILE_SIZE, TILE_PAD), (768, 192),
-                                (512, 128)]:
+    used_tile = None
+    default_ladder = [(1024, 256), (768, 192), (512, 128)]
+    ladder = ([(TILE_SIZE, TILE_PAD or TILE_SIZE // 4)] + default_ladder
+              if TILE_SIZE else default_ladder)
+    for i, (tile_size, tile_pad) in enumerate(ladder):
         try:
-            dt = run(tile_size, min(tile_pad, tile_size // 4))
+            dt, n_tiles = run(tile_size, min(tile_pad, tile_size // 4))
+            used_tile = (tile_size, min(tile_pad, tile_size // 4))
             break
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e) or tile_size == 512:
+            if not _is_oom(e) or i == len(ladder) - 1:
                 raise
-            print(f"# tile {tile_size} OOM, retrying smaller",
-                  file=sys.stderr)
+            print(f"# tile {tile_size} OOM ({str(e)[:120]!r}), retrying "
+                  "smaller", file=sys.stderr)
     assert dt is not None
 
     fps = 1.0 / dt
@@ -103,6 +167,16 @@ def main():
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / V100_BASELINE_FPS, 3),
+        # The reference publishes no numbers (BASELINE.md); 0.5 fps is a
+        # documented estimate of the V100 CUDA/Halide pipeline, not a
+        # measurement.
+        "baseline_estimate": True,
+        "baseline_fps": V100_BASELINE_FPS,
+        "tile": used_tile,
+        "n_tiles": n_tiles,
+        "resolution": [H, W],
+        "spp": SPP,
+        "frame_seconds": round(dt, 4),
     }))
 
 

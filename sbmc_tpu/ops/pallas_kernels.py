@@ -48,14 +48,39 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _pick_blocks(h, w, block_h, block_w, dtype=None):
+# v5e (and v4) cores have 128 MiB of VMEM, but the compiler's default
+# *scoped* allowance for a custom kernel's working set is only 16 MiB —
+# round 1's 1080p bench died on exactly that (22.03M > 16M at k=21,
+# TH=8, TW=256). We size blocks against an explicit byte budget and raise
+# the scoped limit to match via ``CompilerParams(vmem_limit_bytes=...)``,
+# leaving headroom for XLA's own scoped buffers around the call.
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _pick_blocks(h, w, block_h, block_w, k2=1, streams=3, dtype=None):
     """(TH, TW) tile sizes aligned to the vector tile of ``dtype``
-    ((8, 128) for f32, (16, 128) for bf16)."""
-    if block_h is None:
-        block_h = 16 if dtype == jnp.bfloat16 else 8
-    if block_w is None:
-        block_w = 128 if w <= 256 else 256
-    return block_h, block_w
+    ((8, 128) for f32, (16, 128) for bf16), sized so the kernel's VMEM
+    working set stays within the scoped budget.
+
+    ``streams`` is the kernel's VMEM multiplier on its dominant
+    ``k2 x TH x TW`` buffer: double-buffered pipeline copies plus in-kernel
+    temporaries (the fused-exp kernel measured 6.4x at k=21/TH=8/TW=256 on
+    v5e, hence the conservative per-kernel values at the call sites).
+    """
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    if block_h is not None or block_w is not None:
+        return (block_h if block_h is not None else sub,
+                block_w if block_w is not None else (128 if w <= 256
+                                                     else 256))
+    for th, tw in ((2 * sub, 256), (sub, 256), (sub, 128)):
+        if streams * k2 * th * tw * itemsize <= _VMEM_LIMIT:
+            return th, tw
+    return sub, 128
 
 
 def _ksize(k2):
@@ -119,7 +144,7 @@ def kernel_weighting_fwd_pallas(data, weights, *, block_h=None, block_w=None,
     k2 = weights.shape[1]
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -151,6 +176,7 @@ def kernel_weighting_fwd_pallas(data, weights, *, block_h=None, block_w=None,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(dp, wts)
     return out[:, :, :h, :w], sum_w[:, :h, :w]
 
@@ -203,7 +229,8 @@ def kernel_weighting_exp_pallas(data, logits, maxes, *, block_h=None,
     k2 = logits.shape[1]
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w, logits.dtype)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=8,
+                          dtype=logits.dtype)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -238,6 +265,7 @@ def kernel_weighting_exp_pallas(data, logits, maxes, *, block_h=None,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(dp, lg, mx)
     return out[:, :, :h, :w], sum_w[:, :h, :w]
 
@@ -280,7 +308,7 @@ def kernel_weighting_dw_pallas(data, d_output, d_sum_w, k2, *, block_h=None,
     bs, c, h, w = data.shape
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -309,6 +337,7 @@ def kernel_weighting_dw_pallas(data, d_output, d_sum_w, k2, *, block_h=None,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(dp, dout, dsw)
     return dw[:, :, :h, :w]
 
@@ -383,7 +412,7 @@ def scatter2gather_max_pallas(weights, *, block_h=None, block_w=None,
     o = (K - 1) // 2
     dt = weights.dtype
     sub = 16 if dt == jnp.bfloat16 else 8
-    TH, TW = _pick_blocks(h, w, block_h, block_w, dt)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=5, dtype=dt)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, sub)
     RW = _round_up(TW + K - 1, 128)
@@ -410,6 +439,7 @@ def scatter2gather_max_pallas(weights, *, block_h=None, block_w=None,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(wpad)
     return out[:, :, :h, :w], kmax[:, :h, :w]
 
@@ -427,7 +457,7 @@ def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
     bs, k2, h, w = weights.shape
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=5)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -448,5 +478,6 @@ def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(wpad)
     return out[:, :, :h, :w]

@@ -8,14 +8,32 @@ sampling probabilities, light directions and bounce-type flags;
 tile). This module is the TPU-first equivalent: a fully vectorized,
 ``jit``-able wavefront tracer — one ray per pixel per sample pass, a
 ``lax.scan`` over path vertices (fixed depth, matching the reference's
-no-russian-roulette ``maxdepth`` design), analytic sphere/ground-plane
-geometry, Lambertian + mirror BSDFs with next-event estimation to a
-spherical area light, and a constant-sky environment term.
+no-russian-roulette ``maxdepth`` design).
+
+Scene model (all analytic, so the tracer stays a fixed-shape jit graph):
+
+- Geometry: moving spheres, moving axis-aligned boxes, and a checkered
+  ground plane.
+- Materials (mapped from the reference's material mixture,
+  sbmc/scene_generator/randomizers.py:194-227): diffuse (matte/uber),
+  mirror, glass (Fresnel dielectric with refraction), metal (colored Phong
+  gloss), plastic (diffuse base + glossy coat). Objects can carry a
+  procedural 3D checker texture.
+- Lighting: one spherical area light with next-event estimation,
+  multiple-importance-sampled against BSDF sampling (power heuristic, the
+  same estimator family as PBRT's ``EstimateDirect``), plus a
+  gradient-sky + sun environment picked up by escaping rays.
 
 It records the exact per-sample feature surface of the ``.bin`` format
 (sbmc_tpu/data/bin_format.py): 27 sample features, ``4 * depth`` path
-probabilities (normalized ``log(p + 1e-8) / 30`` like SampleRecord), ``2 *
-depth`` light directions (theta, phi) and per-vertex bounce-type bitmasks.
+probabilities — per vertex ``(light_pdf, bsdf_pdf(w_light),
+bsdf_pdf(w_sampled), light_pdf(w_sampled))``, the four MIS pdfs of the
+reference's ``LightQueryRecord`` (sbmc_pbrt.diff integrator.cpp
+instrumentation) — normalized ``log(p + 1e-8) / 30`` like SampleRecord,
+``2 * depth`` light directions (theta, phi) and per-vertex bounce-type
+bitmasks. Distance-like features (depth, lens coordinates, focus distance)
+are normalized by ``1 / (10 * scene_radius)`` exactly like
+``SampleRecord::normalize_distances``.
 
 Scenes are flat arrays (:class:`TracerScene`), so rendering runs unchanged
 on CPU or TPU and scales over devices by splitting sample passes.
@@ -23,6 +41,7 @@ on CPU or TPU and scales over devices by splitting sample passes.
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +50,9 @@ import numpy as np
 from sbmc_tpu.data import bin_format
 
 __all__ = ["TracerScene", "random_tracer_scene", "render_pass",
-           "render_tile_wavefront"]
+           "render_tile_wavefront", "generate_wavefront_dataset",
+           "MAT_DIFFUSE", "MAT_MIRROR", "MAT_GLASS", "MAT_METAL",
+           "MAT_PLASTIC"]
 
 MAX_DEPTH = bin_format.PATH_DEPTH  # 6 vertices: camera hit + 5 bounces
 
@@ -42,66 +63,182 @@ BT_DIFFUSE = 1 << 2
 BT_GLOSSY = 1 << 3
 BT_SPECULAR = 1 << 4
 
+# Material classes (the reference's 7 scene-generator materials collapse
+# onto these scattering models: matte/uber -> diffuse, mirror -> mirror,
+# glass -> glass, metal -> metal, plastic/substrate -> plastic).
+MAT_DIFFUSE = 0
+MAT_MIRROR = 1
+MAT_GLASS = 2
+MAT_METAL = 3
+MAT_PLASTIC = 4
+
+#: Share of plastic samples that pick the diffuse base lobe (vs the coat).
+_PLASTIC_DIFFUSE_P = 0.7
+
 
 @dataclasses.dataclass
 class TracerScene:
-    """Flat-array scene for the wavefront tracer."""
-    centers: np.ndarray      # [n, 3] sphere centers
-    radii: np.ndarray        # [n]
-    albedos: np.ndarray      # [n, 3]
-    mirror: np.ndarray       # [n] in {0,1}: perfect mirror spheres
-    roughness: np.ndarray    # [n] in (0, 1]: glossy lobe width (1 = diffuse)
-    motion: np.ndarray       # [n, 3] linear velocity over the shutter
+    """Flat-array scene for the wavefront tracer.
+
+    Primitive arrays (``albedos``, ``roughness``, ``motion``, ``mat_type``,
+    ``tex_scale``) cover spheres first, then boxes: length
+    ``n_spheres + n_boxes``.
+    """
+    centers: np.ndarray      # [s, 3] sphere centers
+    radii: np.ndarray        # [s]
+    albedos: np.ndarray      # [p, 3]
+    mirror: np.ndarray       # [s] legacy flag; folded into mat_type
+    roughness: np.ndarray    # [p] in (0, 1]: glossy lobe width (1 = diffuse)
+    motion: np.ndarray       # [p, 3] linear velocity over the shutter
     ground_albedo: np.ndarray  # [3]
     light_pos: np.ndarray    # [3]
     light_radius: float
     light_emission: np.ndarray  # [3]
-    sky: np.ndarray          # [3] constant environment radiance
+    sky: np.ndarray          # [3] horizon sky radiance
     fov: float               # degrees
     aperture: float
     focus_distance: float
     cam_pos: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.0, 1.2, 0.0]))
     scene_radius: float = 12.0
+    # --- extended scene surface (defaults reproduce the v1 tracer) -------
+    mat_type: Optional[np.ndarray] = None  # [p] MAT_*; derived if None
+    tex_scale: Optional[np.ndarray] = None  # [p] 3D-checker freq; 0 = none
+    box_centers: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    box_half: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    sky_zenith: Optional[np.ndarray] = None  # defaults to ``sky`` (constant)
+    sun_dir: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 1.0, 0.0]))
+    sun_color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3))
+    sun_exp: float = 200.0
+    glass_ior: float = 1.5
+
+    def _n_prims(self):
+        return self.centers.shape[0] + self.box_centers.shape[0]
 
     def as_jax(self):
-        return {k: jnp.asarray(v) for k, v in dataclasses.asdict(self).items()
-                if isinstance(v, np.ndarray)} | {
+        p = self._n_prims()
+        s = self.centers.shape[0]
+        mat = self.mat_type
+        if mat is None:
+            # Legacy derivation from the v1 (mirror, roughness) encoding.
+            mat = np.where(np.asarray(self.mirror) > 0.5, MAT_MIRROR,
+                           np.where(np.asarray(self.roughness)[:s] < 0.999,
+                                    MAT_METAL, MAT_DIFFUSE))
+        mat = np.asarray(mat)
+        if mat.shape[0] < p:
+            mat = np.concatenate([mat, np.zeros(p - mat.shape[0], mat.dtype)])
+
+        def fit(x, shape, fill=0.0):
+            x = np.asarray(x, np.float32)
+            if x.shape[0] < shape[0]:
+                pad = np.full((shape[0] - x.shape[0],) + x.shape[1:], fill,
+                              np.float32)
+                x = np.concatenate([x, pad])
+            return x
+
+        tex = (np.zeros(p) if self.tex_scale is None
+               else fit(self.tex_scale, (p,)))
+        zen = self.sky if self.sky_zenith is None else self.sky_zenith
+        return {
+            "centers": jnp.asarray(self.centers, jnp.float32).reshape(-1, 3),
+            "radii": jnp.asarray(self.radii, jnp.float32),
+            "box_centers": jnp.asarray(self.box_centers,
+                                       jnp.float32).reshape(-1, 3),
+            "box_half": jnp.asarray(self.box_half,
+                                    jnp.float32).reshape(-1, 3),
+            "albedos": jnp.asarray(fit(self.albedos, (p, 3), 0.5)),
+            "roughness": jnp.asarray(fit(self.roughness, (p,), 1.0)),
+            "motion": jnp.asarray(fit(self.motion, (p, 3))),
+            "mat_type": jnp.asarray(mat, jnp.int32),
+            "tex_scale": jnp.asarray(tex, jnp.float32),
+            "ground_albedo": jnp.asarray(self.ground_albedo, jnp.float32),
+            "light_pos": jnp.asarray(self.light_pos, jnp.float32),
             "light_radius": jnp.float32(self.light_radius),
+            "light_emission": jnp.asarray(self.light_emission, jnp.float32),
+            "sky": jnp.asarray(self.sky, jnp.float32),
+            "sky_zenith": jnp.asarray(zen, jnp.float32),
+            "sun_dir": jnp.asarray(self.sun_dir, jnp.float32),
+            "sun_color": jnp.asarray(self.sun_color, jnp.float32),
+            "sun_exp": jnp.float32(self.sun_exp),
+            "glass_ior": jnp.float32(self.glass_ior),
             "fov": jnp.float32(self.fov),
             "aperture": jnp.float32(self.aperture),
             "focus_distance": jnp.float32(self.focus_distance),
+            "cam_pos": jnp.asarray(self.cam_pos, jnp.float32),
+            "scene_radius": jnp.float32(self.scene_radius),
         }
 
 
-def random_tracer_scene(rng, n_spheres=6):
-    mirror = (rng.rand(n_spheres) < 0.15).astype(np.float32)
-    # Material mixture in the spirit of the reference randomizers
-    # (sbmc/scene_generator/randomizers.py): some glossy, mostly diffuse.
-    glossy = (rng.rand(n_spheres) < 0.3) & (mirror < 0.5)
-    roughness = np.where(glossy, rng.uniform(0.05, 0.4, n_spheres), 1.0)
-    do_motion = rng.rand(n_spheres) < 0.25
+def random_tracer_scene(rng, n_spheres=6, n_boxes=3):
+    """Sample a random scene with the reference's material-mixture spirit
+    (sbmc/scene_generator/randomizers.py:194-227: 5% mirror, 5% glass,
+    10% metal, 20% plastic, 10% substrate, 30% uber, 20% diffuse — the
+    pbrt-only classes collapse onto our five scattering models)."""
+    p = n_spheres + n_boxes
+    mat = rng.choice(
+        [MAT_DIFFUSE, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_PLASTIC],
+        size=p, p=[0.50, 0.05, 0.05, 0.10, 0.30])
+    do_motion = rng.rand(p) < 0.25
+    sunny = rng.rand() < 0.5
+    sun = rng.normal(size=3)
+    sun[1] = abs(sun[1]) + 0.3
+    sun /= np.linalg.norm(sun)
+
+    centers = np.stack([rng.uniform(-3, 3, n_spheres),
+                        rng.uniform(0.4, 2.5, n_spheres),
+                        rng.uniform(3.0, 9.0, n_spheres)], 1)
+    radii = rng.uniform(0.3, 1.0, n_spheres)
+    box_half = np.stack([rng.uniform(0.25, 0.9, n_boxes),
+                         rng.uniform(0.25, 1.2, n_boxes),
+                         rng.uniform(0.25, 0.9, n_boxes)], 1)
+    box_centers = np.stack([rng.uniform(-3.5, 3.5, n_boxes),
+                            box_half[:, 1] * (1 + 1.5 * rng.rand(n_boxes)),
+                            rng.uniform(3.0, 9.0, n_boxes)], 1)
+
+    # Scene radius: the reference PBRT computes it from the world bound;
+    # use the camera-to-farthest-surface distance (plus light) here.
+    cam = np.array([rng.uniform(-1, 1), rng.uniform(0.8, 2.2),
+                    rng.uniform(-1, 1)])
+    light_pos = np.array([rng.uniform(-4, 4), rng.uniform(4, 8),
+                          rng.uniform(0, 6)])
+    ext = max(
+        float(np.max(np.linalg.norm(centers - cam, axis=1) + radii)),
+        float(np.max(np.linalg.norm(box_centers - cam, axis=1)
+                     + np.linalg.norm(box_half, axis=1))),
+        float(np.linalg.norm(light_pos - cam)))
+
     return TracerScene(
-        centers=np.stack([rng.uniform(-3, 3, n_spheres),
-                          rng.uniform(0.4, 2.5, n_spheres),
-                          rng.uniform(3.0, 9.0, n_spheres)], 1),
-        radii=rng.uniform(0.3, 1.0, n_spheres),
-        albedos=rng.uniform(0.1, 0.9, (n_spheres, 3)),
-        mirror=mirror,
-        roughness=roughness,
-        motion=rng.normal(0, 0.15, (n_spheres, 3)) * do_motion[:, None],
+        centers=centers,
+        radii=radii,
+        albedos=rng.uniform(0.1, 0.9, (p, 3)),
+        mirror=(mat[:n_spheres] == MAT_MIRROR).astype(np.float32),
+        roughness=np.where(
+            np.isin(mat, [MAT_METAL, MAT_PLASTIC]),
+            rng.uniform(0.05, 0.4, p), 1.0),
+        motion=rng.normal(0, 0.15, (p, 3)) * do_motion[:, None],
+        mat_type=mat,
+        tex_scale=np.where(rng.rand(p) < 0.4, rng.uniform(0.5, 3.0, p), 0.0),
+        box_centers=box_centers,
+        box_half=box_half,
         ground_albedo=rng.uniform(0.2, 0.8, 3),
-        light_pos=np.array([rng.uniform(-4, 4), rng.uniform(4, 8),
-                            rng.uniform(0, 6)]),
+        light_pos=light_pos,
         light_radius=float(rng.uniform(0.2, 0.8)),
         light_emission=rng.uniform(30, 120, 3),
         sky=rng.uniform(0.05, 0.35, 3),
+        sky_zenith=rng.uniform(0.05, 0.6, 3),
+        sun_dir=sun,
+        sun_color=rng.uniform(3, 30, 3) * sunny,
+        sun_exp=float(rng.uniform(50, 500)),
         fov=float(rng.uniform(25, 60)),
         aperture=(float(np.exp(rng.uniform(np.log(1e-3), np.log(0.05))))
                   if rng.rand() < 0.5 else 0.0),
         focus_distance=float(rng.uniform(3, 8)),
-        cam_pos=np.array([rng.uniform(-1, 1), rng.uniform(0.8, 2.2),
-                          rng.uniform(-1, 1)]),
+        cam_pos=cam,
+        scene_radius=float(max(ext * 1.1, 4.0)),
     )
 
 
@@ -111,68 +248,142 @@ def random_tracer_scene(rng, n_spheres=6):
 #: its depth normalization implicitly assumes this).
 MAX_RAY_FACTOR = 4.0
 
+_INF = jnp.float32(1e10)
 
-def _intersect(scn, org, dirs, t):
-    """Nearest-hit for ray bundles [N, 3]. Returns hit dict."""
-    n = org.shape[0]
-    inf = jnp.float32(1e10)
-    t_max = jnp.float32(12.0 * MAX_RAY_FACTOR)
 
-    # Ground plane y = 0 (treated as environment beyond t_max).
-    dy = dirs[:, 1]
-    tg = jnp.where(jnp.abs(dy) > 1e-8, -org[:, 1] / dy, inf)
-    tg = jnp.where((tg > 1e-3) & (tg < t_max), tg, inf)
-
-    # Spheres (moved by t * motion).
-    c = scn["centers"][None] + t[:, None, None] * scn["motion"][None]
+def _sphere_ts(scn, org, dirs, t):
+    """Sphere hit distances [N, S] (entry root, or exit root when inside)
+    and the inside flags."""
+    c = scn["centers"][None] + t[:, None, None] * scn["motion"][None, :len(
+        scn["radii"])]
     oc = org[:, None, :] - c                       # [N, S, 3]
     b = jnp.sum(oc * dirs[:, None, :], -1)         # [N, S]
     cc = jnp.sum(oc * oc, -1) - scn["radii"][None] ** 2
     disc = b * b - cc
-    ts = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-    ts = jnp.where((disc > 0) & (ts > 1e-3), ts, inf)
-    s_idx = jnp.argmin(ts, axis=1)
-    s_t = jnp.take_along_axis(ts, s_idx[:, None], 1)[:, 0]
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near, t_far = -b - root, -b + root
+    inside = (disc > 0) & (t_near <= 1e-3) & (t_far > 1e-3)
+    ts = jnp.where(disc > 0,
+                   jnp.where(t_near > 1e-3, t_near,
+                             jnp.where(inside, t_far, _INF)), _INF)
+    return ts, inside, c
 
-    hit_sphere = s_t < tg
-    best_t = jnp.where(hit_sphere, s_t, tg)
-    hit = best_t < inf
-    # id: -1 = miss, -2 = ground, >= 0 = sphere
-    hid = jnp.where(hit, jnp.where(hit_sphere, s_idx, -2), -1)
+
+def _box_ts(scn, org, dirs, t):
+    """Axis-aligned box hit distances [N, B] and inside flags."""
+    nb = scn["box_centers"].shape[0]
+    ns = scn["radii"].shape[0]
+    cb = (scn["box_centers"][None]
+          + t[:, None, None] * scn["motion"][None, ns:ns + nb])
+    inv = jnp.where(jnp.abs(dirs) > 1e-9, 1.0 / dirs,
+                    jnp.sign(dirs) * 1e9 + 1e9)       # signed big number
+    o = org[:, None, :] - cb                          # [N, B, 3]
+    t1 = (-scn["box_half"][None] - o) * inv[:, None, :]
+    t2 = (scn["box_half"][None] - o) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    valid = (tf > jnp.maximum(tn, 1e-3)) & (tf > 1e-3)
+    inside = valid & (tn <= 1e-3)
+    ts = jnp.where(valid, jnp.where(inside, tf, tn), _INF)
+    return ts, inside, cb
+
+
+def _intersect(scn, org, dirs, t):
+    """Nearest-hit for ray bundles [N, 3]. Returns hit dict."""
+    t_max = scn["scene_radius"] * MAX_RAY_FACTOR
+    ns = scn["radii"].shape[0]
+    nb = scn["box_centers"].shape[0]
+
+    # Ground plane y = 0 (treated as environment beyond t_max).
+    dy = dirs[:, 1]
+    tg = jnp.where(jnp.abs(dy) > 1e-8, -org[:, 1] / dy, _INF)
+    tg = jnp.where((tg > 1e-3) & (tg < t_max), tg, _INF)
+
+    ts_s, in_s, c_s = _sphere_ts(scn, org, dirs, t)
+    if nb > 0:
+        ts_b, in_b, c_b = _box_ts(scn, org, dirs, t)
+        ts_all = jnp.concatenate([ts_s, ts_b], 1)       # [N, S+B]
+        inside_all = jnp.concatenate([in_s, in_b], 1)
+    else:
+        ts_all, inside_all = ts_s, in_s
+
+    p_idx = jnp.argmin(ts_all, axis=1)                  # [N]
+    p_t = jnp.take_along_axis(ts_all, p_idx[:, None], 1)[:, 0]
+    p_inside = jnp.take_along_axis(inside_all, p_idx[:, None], 1)[:, 0]
+
+    hit_prim = p_t < tg
+    best_t = jnp.where(hit_prim, p_t, tg)
+    hit = best_t < _INF
+    # id: -1 = miss, -2 = ground, >= 0 = primitive
+    hid = jnp.where(hit, jnp.where(hit_prim, p_idx, -2), -1)
 
     p = org + best_t[:, None] * dirs
-    sc = jnp.take_along_axis(c, s_idx[:, None, None].repeat(3, -1),
-                             1)[:, 0]  # hit sphere center
-    sr = scn["radii"][s_idx]
-    n_sphere = (p - sc) / sr[:, None]
-    normal = jnp.where(hit_sphere[:, None], n_sphere,
-                       jnp.array([0.0, 1.0, 0.0])[None])
-    # face the incoming ray
-    normal = jnp.where(jnp.sum(normal * dirs, -1, keepdims=True) > 0,
-                       -normal, normal)
 
+    # Sphere outward normal.
+    s_idx = jnp.clip(p_idx, 0, ns - 1)
+    sc = jnp.take_along_axis(c_s, s_idx[:, None, None].repeat(3, -1),
+                             1)[:, 0]
+    n_sphere = (p - sc) / jnp.maximum(scn["radii"][s_idx][:, None], 1e-8)
+    if nb > 0:
+        # Box outward normal: dominant axis of the local coordinates.
+        b_idx = jnp.clip(p_idx - ns, 0, nb - 1)
+        bc = jnp.take_along_axis(c_b, b_idx[:, None, None].repeat(3, -1),
+                                 1)[:, 0]
+        q = (p - bc) / jnp.maximum(scn["box_half"][b_idx], 1e-8)
+        ax = jnp.argmax(jnp.abs(q), axis=-1)
+        n_box = (jax.nn.one_hot(ax, 3, dtype=q.dtype)
+                 * jnp.sign(jnp.take_along_axis(q, ax[:, None], 1)))
+        n_prim = jnp.where((p_idx < ns)[:, None], n_sphere, n_box)
+    else:
+        n_prim = n_sphere
+    n_geo = jnp.where(hit_prim[:, None], n_prim,
+                      jnp.array([0.0, 1.0, 0.0])[None])
+    # Shading normal faces the incoming ray.
+    normal = jnp.where(jnp.sum(n_geo * dirs, -1, keepdims=True) > 0,
+                       -n_geo, n_geo)
+
+    # Albedo: checkered ground; optional 3D-checker texture on primitives.
     checker = (jnp.floor(p[:, 0]) + jnp.floor(p[:, 2])) % 2.0
     g_alb = scn["ground_albedo"][None] * (0.5 + 0.5 * checker[:, None])
-    s_alb = scn["albedos"][s_idx]
-    albedo = jnp.where(hit_sphere[:, None], s_alb, g_alb)
+    a_prim = scn["albedos"][p_idx]
+    freq = scn["tex_scale"][p_idx]
+    ch3 = (jnp.floor(p[:, 0] * freq) + jnp.floor(p[:, 1] * freq)
+           + jnp.floor(p[:, 2] * freq)) % 2.0
+    a_prim = jnp.where((freq > 0)[:, None],
+                       a_prim * (0.55 + 0.45 * ch3[:, None]), a_prim)
+    albedo = jnp.where(hit_prim[:, None], a_prim, g_alb)
     albedo = jnp.where(hit[:, None], albedo, 0.0)
-    is_mirror = jnp.where(hit_sphere, scn["mirror"][s_idx] > 0.5, False)
-    rough = jnp.where(hit_sphere, scn["roughness"][s_idx], 1.0)
+
+    mat = jnp.where(hit_prim, scn["mat_type"][p_idx], MAT_DIFFUSE)
+    mat = jnp.where(hit, mat, MAT_DIFFUSE)
+    rough = jnp.where(hit_prim, scn["roughness"][p_idx], 1.0)
+    inside = hit_prim & p_inside
 
     return {"hit": hit, "id": hid, "t": jnp.where(hit, best_t, 0.0),
-            "p": p, "normal": normal, "albedo": albedo,
-            "mirror": is_mirror, "roughness": rough}
+            "p": p, "normal": normal, "albedo": albedo, "mat": mat,
+            "roughness": rough, "inside": inside}
 
 
 def _occluded(scn, org, dirs, dist):
-    """Any sphere hit closer than dist (t=0 geometry for shadow rays)."""
-    oc = org[:, None, :] - scn["centers"][None]
-    b = jnp.sum(oc * dirs[:, None, :], -1)
-    cc = jnp.sum(oc * oc, -1) - scn["radii"][None] ** 2
-    disc = b * b - cc
-    ts = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-    ok = (disc > 0) & (ts > 1e-3) & (ts < dist[:, None] - 1e-3)
+    """Any primitive hit closer than dist (t=0 geometry for shadow rays)."""
+    zeros = jnp.zeros(org.shape[0])
+    ts_s, _, _ = _sphere_ts(scn, org, dirs, zeros)
+    ok = (ts_s < dist[:, None] - 1e-3)
+    if scn["box_centers"].shape[0] > 0:
+        ts_b, _, _ = _box_ts(scn, org, dirs, zeros)
+        ok = jnp.concatenate([ok, ts_b < dist[:, None] - 1e-3], 1)
     return jnp.any(ok, axis=1)
+
+
+def _frame(normal):
+    """Orthonormal (tangent, bitangent) around per-ray vectors [N, 3]."""
+    up = jnp.where(jnp.abs(normal[:, 1:2]) < 0.9,
+                   jnp.array([0.0, 1.0, 0.0])[None],
+                   jnp.array([1.0, 0.0, 0.0])[None])
+    tang = jnp.cross(up, normal)
+    tang = tang / (jnp.linalg.norm(tang, axis=-1, keepdims=True) + 1e-12)
+    bitan = jnp.cross(normal, tang)
+    return tang, bitan
 
 
 def _cosine_sample(key, normal):
@@ -182,13 +393,7 @@ def _cosine_sample(key, normal):
     u2 = jax.random.uniform(k2, normal.shape[:1])
     r = jnp.sqrt(u1)
     phi = 2 * jnp.pi * u2
-    # local frame
-    up = jnp.where(jnp.abs(normal[:, 1:2]) < 0.9,
-                   jnp.array([0.0, 1.0, 0.0])[None],
-                   jnp.array([1.0, 0.0, 0.0])[None])
-    tang = jnp.cross(up, normal)
-    tang = tang / (jnp.linalg.norm(tang, axis=-1, keepdims=True) + 1e-12)
-    bitan = jnp.cross(normal, tang)
+    tang, bitan = _frame(normal)
     local = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
                        jnp.sqrt(jnp.maximum(1 - u1, 0.0))], -1)
     d = (local[:, 0:1] * tang + local[:, 1:2] * bitan
@@ -197,10 +402,30 @@ def _cosine_sample(key, normal):
     return d, pdf
 
 
+def _phong_sample(key, axis, n_exp):
+    """Phong-lobe sample around per-ray axes [N, 3] with exponent [N]."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, axis.shape[:1])
+    u2 = jax.random.uniform(k2, axis.shape[:1])
+    cos_a = u1 ** (1.0 / (n_exp + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(1 - cos_a ** 2, 0.0))
+    phi = 2 * jnp.pi * u2
+    tang, bitan = _frame(axis)
+    d = (sin_a[:, None] * jnp.cos(phi)[:, None] * tang
+         + sin_a[:, None] * jnp.sin(phi)[:, None] * bitan
+         + cos_a[:, None] * axis)
+    return d
+
+
+def _phong_pdf(d, axis, n_exp):
+    cos_a = jnp.maximum(jnp.sum(d * axis, -1), 0.0)
+    return (n_exp + 1.0) / (2 * jnp.pi) * cos_a ** n_exp
+
+
 def _sphere_dir(key, center, radius, p):
     """Sample a direction towards a spherical light; returns dir, dist,
     pdf (solid-angle)."""
-    k1, k2 = jax.random.split(key)
+    k1, _ = jax.random.split(key)
     # sample point on sphere surface
     u = jax.random.normal(k1, p.shape)
     u = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-12)
@@ -213,6 +438,40 @@ def _sphere_dir(key, center, radius, p):
     cos_l = jnp.abs(jnp.sum(u * -d, -1)) + 1e-6
     pdf = (dist ** 2) / (area * cos_l)
     return d, dist, pdf
+
+
+def _light_pdf_towards(scn, p, d):
+    """Solid-angle pdf that :func:`_sphere_dir` would assign to direction
+    ``d`` from ``p`` (0 if the ray misses the light sphere). Also returns
+    the hit distance (inf on miss)."""
+    oc = p - scn["light_pos"][None]
+    b = jnp.sum(oc * d, -1)
+    cc = jnp.sum(oc * oc, -1) - scn["light_radius"] ** 2
+    disc = b * b - cc
+    t_l = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    hit_l = (disc > 0) & (t_l > 1e-3)
+    lp = p + t_l[:, None] * d
+    u = (lp - scn["light_pos"][None]) / jnp.maximum(scn["light_radius"],
+                                                    1e-8)
+    area = 4 * jnp.pi * scn["light_radius"] ** 2
+    cos_l = jnp.abs(jnp.sum(u * -d, -1)) + 1e-6
+    pdf = jnp.where(hit_l, (t_l ** 2) / (area * cos_l), 0.0)
+    return pdf, jnp.where(hit_l, t_l, _INF)
+
+
+def _sky_radiance(scn, d):
+    """Gradient sky + sun environment for escaping directions [N, 3]."""
+    h = jnp.clip(d[:, 1], 0.0, 1.0)[:, None]
+    base = scn["sky"][None] * (1 - h) + scn["sky_zenith"][None] * h
+    cos_sun = jnp.maximum(jnp.sum(d * scn["sun_dir"][None], -1), 0.0)
+    sun = scn["sun_color"][None] * (cos_sun[:, None] ** scn["sun_exp"])
+    return base + sun
+
+
+def _power_w(pdf_a, pdf_b):
+    """Power heuristic (beta=2), the PBRT EstimateDirect weighting."""
+    a2 = pdf_a * pdf_a
+    return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-12)
 
 
 def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
@@ -263,7 +522,10 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
         "beta": jnp.ones((n, 3)),          # path throughput
         "alive": jnp.ones((n,), bool),
         "specular_chain": jnp.zeros((n,), bool),  # after 1st vertex: came
-                                                  # through specular only
+                                                  # through delta only
+        # MIS bookkeeping for BSDF-sampled light hits: the pdf of the last
+        # BSDF sample (0 marks a delta bounce -> weight 1).
+        "prev_bsdf_pdf": jnp.zeros((n,)),
         "L_diffuse": jnp.zeros((n, 3)),
         "L_specular": jnp.zeros((n, 3)),
         "first": {},  # filled below
@@ -282,38 +544,72 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
     }
     state["first"] = first
 
+    emit = scn["light_emission"][None]
+
     def vertex(state, d_idx):
         k_all = jax.random.fold_in(state["key"], d_idx)
-        k_nee, k_bsdf, k_next = jax.random.split(k_all, 3)
+        k_nee, k_bsdf, k_lobe, k_fres = jax.random.split(k_all, 4)
 
         rec = _intersect(scn, state["org"], state["dirs"], t_time)
         alive = state["alive"]
         hit = rec["hit"] & alive
+        mat = rec["mat"]
+        is_mirror = mat == MAT_MIRROR
+        is_glass = mat == MAT_GLASS
+        is_delta = is_mirror | is_glass
+        is_metal = mat == MAT_METAL
+        is_plastic = mat == MAT_PLASTIC
+        is_glossy = is_metal | is_plastic
 
-        # Environment contribution for escaping rays.
-        escaped = alive & ~rec["hit"]
-        env = state["beta"] * scn["sky"][None]
         to_spec = state["specular_chain"] & (d_idx > 0)
+
+        # Environment contribution for escaping rays (sky is only reached
+        # by BSDF samples, so no MIS weight applies).
+        escaped = alive & ~rec["hit"]
+        env = state["beta"] * _sky_radiance(scn, state["dirs"])
         L_diffuse = state["L_diffuse"] + jnp.where(
             (escaped & ~to_spec)[:, None], env, 0.0)
         L_specular = state["L_specular"] + jnp.where(
             (escaped & to_spec)[:, None], env, 0.0)
 
-        # --- next-event estimation to the spherical light ---------------
+        # --- next-event estimation to the spherical light ----------------
         ldir, ldist, lpdf = _sphere_dir(
             k_nee, scn["light_pos"], scn["light_radius"], rec["p"])
         shadowed = _occluded(scn, rec["p"] + 1e-3 * ldir, ldir, ldist)
         cos_s = jnp.maximum(jnp.sum(rec["normal"] * ldir, -1), 0.0)
-        emit = scn["light_emission"][None]
-        f_diffuse = rec["albedo"] / jnp.pi
-        vis = (~shadowed) & hit & ~rec["mirror"]
-        contrib = (state["beta"] * f_diffuse * emit
-                   * (cos_s / jnp.maximum(lpdf, 1e-6))[:, None])
+
+        # BSDF value and pdf in the light direction (for MIS).
+        d_mirr = state["dirs"] - 2 * jnp.sum(
+            state["dirs"] * rec["normal"], -1,
+            keepdims=True) * rec["normal"]
+        n_exp = 2.0 / jnp.clip(rec["roughness"], 0.05, 1.0) ** 2
+        pdf_cos_l = cos_s / jnp.pi
+        pdf_ph_l = _phong_pdf(ldir, d_mirr, n_exp)
+        f_diff = rec["albedo"] / jnp.pi
+        f_phong = (n_exp + 2.0) / (2 * jnp.pi) * jnp.maximum(
+            jnp.sum(ldir * d_mirr, -1), 0.0) ** n_exp
+        f_l = jnp.where(
+            is_metal[:, None], rec["albedo"] * f_phong[:, None],
+            jnp.where(is_plastic[:, None],
+                      f_diff * _PLASTIC_DIFFUSE_P
+                      + (1 - _PLASTIC_DIFFUSE_P) * f_phong[:, None],
+                      jnp.where(is_delta[:, None], 0.0, f_diff)))
+        bpdf_l = jnp.where(
+            is_metal, pdf_ph_l,
+            jnp.where(is_plastic,
+                      _PLASTIC_DIFFUSE_P * pdf_cos_l
+                      + (1 - _PLASTIC_DIFFUSE_P) * pdf_ph_l,
+                      jnp.where(is_delta, 0.0, pdf_cos_l)))
+        w_nee = _power_w(lpdf, bpdf_l)
+
+        vis = (~shadowed) & hit & ~is_delta
+        contrib = (state["beta"] * f_l * emit
+                   * (w_nee * cos_s / jnp.maximum(lpdf, 1e-6))[:, None])
         contrib = jnp.where(vis[:, None], contrib, 0.0)
         L_diffuse = L_diffuse + jnp.where(to_spec[:, None], 0.0, contrib)
         L_specular = L_specular + jnp.where(to_spec[:, None], contrib, 0.0)
 
-        # --- record first-geometric / first-diffuse bounce features -----
+        # --- record first-geometric / first-diffuse bounce features ------
         f = dict(state["first"])
         dist_here = f["dist_so_far"] + rec["t"]
         new_first = hit & ~f["got_first"]
@@ -325,7 +621,7 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
         f["has_hit"] = jnp.where(new_first, 1.0, f["has_hit"])
         f["got_first"] = f["got_first"] | hit
 
-        new_diffuse = hit & ~rec["mirror"] & ~f["got_diffuse"]
+        new_diffuse = hit & ~is_delta & ~f["got_diffuse"]
         f["normal"] = jnp.where(new_diffuse[:, None], rec["normal"],
                                 f["normal"])
         f["depth"] = jnp.where(new_diffuse, dist_here, f["depth"])
@@ -337,45 +633,107 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
         f["got_diffuse"] = f["got_diffuse"] | new_diffuse
         f["dist_so_far"] = jnp.where(hit, dist_here, f["dist_so_far"])
 
-        # --- sample the BSDF for the next segment ------------------------
-        # Diffuse: cosine lobe around the normal. Glossy: the same sampler
-        # around the mirror direction, blended by roughness (a cheap
-        # Phong-style lobe). Mirror: delta reflection.
-        d_mirr = state["dirs"] - 2 * jnp.sum(
-            state["dirs"] * rec["normal"], -1, keepdims=True) * rec["normal"]
+        # --- sample the BSDF for the next segment -------------------------
         d_diff, pdf_diff = _cosine_sample(k_bsdf, rec["normal"])
-        d_gloss, _ = _cosine_sample(
-            jax.random.fold_in(k_bsdf, 1), d_mirr)
-        r1 = rec["roughness"][:, None]
-        d_rough = d_mirr * (1 - r1) + d_gloss * r1
-        d_rough = d_rough / (jnp.linalg.norm(d_rough, -1, keepdims=True)
-                             + 1e-12)
-        # Keep glossy bounces above the surface.
-        below = jnp.sum(d_rough * rec["normal"], -1, keepdims=True) < 0
-        d_rough = jnp.where(below, d_diff, d_rough)
-        is_glossy = (~rec["mirror"]) & (rec["roughness"] < 0.999)
-        next_dir = jnp.where(rec["mirror"][:, None], d_mirr,
-                             jnp.where(is_glossy[:, None], d_rough, d_diff))
-        bsdf_pdf = jnp.where(rec["mirror"], 1.0, pdf_diff)
-        # Lambertian throughput: albedo (cosine-weighted pdf cancels cos/pi)
-        beta = state["beta"] * jnp.where(rec["mirror"][:, None], 1.0,
-                                         rec["albedo"])
-        beta = jnp.where(hit[:, None], beta, state["beta"])
+        d_ph = _phong_sample(k_lobe, d_mirr, n_exp)
+        # Glossy samples below the horizon carry zero BRDF: fall back to the
+        # diffuse lobe so the path continues (energy handled by f/pdf).
+        ph_below = jnp.sum(d_ph * rec["normal"], -1) <= 0
+        u_f = jax.random.uniform(k_fres, (n,))
+
+        # Glass: Fresnel-weighted reflect/refract (Schlick).
+        cos_i = jnp.maximum(-jnp.sum(state["dirs"] * rec["normal"], -1),
+                            1e-6)
+        eta = jnp.where(rec["inside"], scn["glass_ior"],
+                        1.0 / scn["glass_ior"])
+        sin2_t = eta ** 2 * (1.0 - cos_i ** 2)
+        tir = sin2_t > 1.0
+        r0 = ((1 - scn["glass_ior"]) / (1 + scn["glass_ior"])) ** 2
+        fres = r0 + (1 - r0) * (1 - cos_i) ** 5
+        reflect_glass = tir | (u_f < fres)
+        d_refr = (eta[:, None] * state["dirs"]
+                  + (eta * cos_i - jnp.sqrt(jnp.maximum(1 - sin2_t, 0.0))
+                     )[:, None] * rec["normal"])
+        d_refr = d_refr / (jnp.linalg.norm(d_refr, axis=-1, keepdims=True)
+                           + 1e-12)
+        d_glass = jnp.where(reflect_glass[:, None], d_mirr, d_refr)
+
+        # Plastic: pick base diffuse lobe vs glossy coat.
+        pl_diffuse = u_f < _PLASTIC_DIFFUSE_P
+        d_plastic = jnp.where((pl_diffuse | ph_below)[:, None], d_diff, d_ph)
+
+        next_dir = jnp.where(
+            is_mirror[:, None], d_mirr,
+            jnp.where(is_glass[:, None], d_glass,
+                      jnp.where(is_metal[:, None],
+                                jnp.where(ph_below[:, None], d_diff, d_ph),
+                                jnp.where(is_plastic[:, None], d_plastic,
+                                          d_diff))))
+
+        # pdf of the sampled direction (0 marks delta lobes).
+        cos_o = jnp.maximum(jnp.sum(next_dir * rec["normal"], -1), 0.0)
+        pdf_cos_o = cos_o / jnp.pi
+        pdf_ph_o = _phong_pdf(next_dir, d_mirr, n_exp)
+        bsdf_pdf = jnp.where(
+            is_metal, jnp.where(ph_below, pdf_cos_o, pdf_ph_o),
+            jnp.where(is_plastic,
+                      _PLASTIC_DIFFUSE_P * pdf_cos_o
+                      + (1 - _PLASTIC_DIFFUSE_P) * pdf_ph_o,
+                      jnp.where(is_delta, 0.0, pdf_cos_o)))
+
+        # BSDF value along the sampled direction -> throughput update.
+        f_ph_o = (n_exp + 2.0) / (2 * jnp.pi) * jnp.maximum(
+            jnp.sum(next_dir * d_mirr, -1), 0.0) ** n_exp
+        f_o = jnp.where(
+            is_metal[:, None], rec["albedo"] * f_ph_o[:, None],
+            jnp.where(is_plastic[:, None],
+                      rec["albedo"] / jnp.pi * _PLASTIC_DIFFUSE_P
+                      + (1 - _PLASTIC_DIFFUSE_P) * f_ph_o[:, None],
+                      rec["albedo"] / jnp.pi))
+        thr = f_o * (cos_o / jnp.maximum(bsdf_pdf, 1e-6))[:, None]
+        thr = jnp.where(is_delta[:, None],
+                        jnp.where(is_mirror[:, None], rec["albedo"], 1.0),
+                        jnp.clip(thr, 0.0, 4.0))
+        beta = jnp.where(hit[:, None], state["beta"] * thr, state["beta"])
+
+        # --- BSDF-sampled light hit (the other MIS branch) ---------------
+        lpdf_o, t_l = _light_pdf_towards(scn, rec["p"], next_dir)
+        blocked = _occluded(scn, rec["p"] + 1e-3 * next_dir, next_dir,
+                            jnp.minimum(t_l, _INF))
+        hits_light = hit & (t_l < _INF) & ~blocked
+        w_bsdf = jnp.where(is_delta, 1.0, _power_w(bsdf_pdf, lpdf_o))
+        l_contrib = beta * emit * w_bsdf[:, None]
+        l_contrib = jnp.where(hits_light[:, None], l_contrib, 0.0)
+        next_spec = jnp.where(d_idx == 0, is_delta,
+                              state["specular_chain"] & is_delta)
+        to_spec_next = next_spec & hit
+        L_diffuse = L_diffuse + jnp.where(to_spec_next[:, None], 0.0,
+                                          l_contrib)
+        L_specular = L_specular + jnp.where(to_spec_next[:, None],
+                                            l_contrib, 0.0)
 
         # --- per-vertex records (p, ld, bt) -------------------------------
+        # The four MIS pdfs of the reference's LightQueryRecord
+        # (sbmc_pbrt.diff integrator.cpp: EstimateDirect's light/bsdf pdf
+        # pairs for the light-sampled and bsdf-sampled strategies).
         theta = jnp.arccos(jnp.clip(ldir[:, 1], -1, 1))
         phi = jnp.arctan2(ldir[:, 2], ldir[:, 0])
         ld_rec = jnp.where(hit[:, None], jnp.stack([theta, phi], -1), 0.0)
+        bsdf_pdf_rec = jnp.where(is_delta, 1.0, bsdf_pdf)  # delta -> 1
         p_rec = jnp.stack([
-            jnp.where(hit, bsdf_pdf, 0.0),
             jnp.where(hit, lpdf, 0.0),
-            jnp.where(hit, cos_s, 0.0),
-            jnp.where(vis, 1.0, 0.0)], -1)
+            jnp.where(hit, bpdf_l, 0.0),
+            jnp.where(hit, bsdf_pdf_rec, 0.0),
+            jnp.where(hit, lpdf_o, 0.0)], -1)
+        refracted = is_glass & ~reflect_glass
         bt = jnp.where(
             hit,
-            jnp.where(rec["mirror"], BT_REFLECTION | BT_SPECULAR,
-                      jnp.where(is_glossy, BT_REFLECTION | BT_GLOSSY,
-                                BT_REFLECTION | BT_DIFFUSE)),
+            jnp.where(refracted, BT_TRANSMISSION | BT_SPECULAR,
+                      jnp.where(is_mirror | is_glass,
+                                BT_REFLECTION | BT_SPECULAR,
+                                jnp.where(is_glossy,
+                                          BT_REFLECTION | BT_GLOSSY,
+                                          BT_REFLECTION | BT_DIFFUSE))),
             0).astype(jnp.int16)
 
         new_state = {
@@ -384,9 +742,8 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
             "dirs": jnp.where(hit[:, None], next_dir, state["dirs"]),
             "beta": beta,
             "alive": hit,
-            "specular_chain": jnp.where(
-                d_idx == 0, rec["mirror"],
-                state["specular_chain"] & rec["mirror"]),
+            "specular_chain": next_spec,
+            "prev_bsdf_pdf": bsdf_pdf,
             "L_diffuse": L_diffuse,
             "L_specular": L_specular,
             "first": f,
@@ -398,9 +755,12 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
         vertex, state, jnp.arange(MAX_DEPTH))
 
     f = state["first"]
-    inv_norm = 1.0 / (10.0 * 12.0)  # 1/(10 * scene_radius), like the writer
+    # 1 / (10 * scene_radius): SampleRecord::normalize_distances.
+    inv_norm = 1.0 / (10.0 * scn["scene_radius"])
     return {
-        "dx": dx, "dy": dy, "lens_u": lens_u, "lens_v": lens_v, "t": t_time,
+        "dx": dx, "dy": dy,
+        "lens_u": lens_u * inv_norm, "lens_v": lens_v * inv_norm,
+        "t": t_time,
         "diffuse": state["L_diffuse"], "specular": state["L_specular"],
         "normal_first": f["normal_first"], "normal": f["normal"],
         "depth_first": f["depth_first"] * inv_norm,
@@ -483,11 +843,14 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
     # (samplerecord normalize_probabilities): log(p + 1e-8) / 30.
     p_n = np.log(np.asarray(p) + 1e-8) / 30.0
 
+    inv_norm = 1.0 / (10.0 * scene.scene_radius)
     return bin_format.Tile(
         tile_size=ts, image_width=image_width, image_height=image_height,
         sample_count=spp, gt_sample_count=gt_spp,
-        focus_distance=(scene.focus_distance if scene.aperture > 0 else 0.0),
-        aperture_radius=scene.aperture, fov=scene.fov / 100.0,
+        focus_distance=(scene.focus_distance * inv_norm
+                        if scene.aperture > 0 else 0.0),
+        aperture_radius=scene.aperture * inv_norm,
+        fov=scene.fov / 100.0,
         scene_radius=scene.scene_radius,
         block_x=block_x, block_y=block_y,
         pixel_data=np.concatenate([img(mean), img(np.maximum(var, 0))], 0
