@@ -5,13 +5,20 @@ DATA_DIR ?= /tmp/sbmc_tpu_demo/data
 CKPT_DIR ?= /tmp/sbmc_tpu_demo/ckpt
 OUT_DIR  ?= /tmp/sbmc_tpu_demo/output
 
-.PHONY: test test-fast demo/data demo/train demo/denoise demo/eval demo bench
+.PHONY: test test-fast test-slow demo/data demo/train demo/denoise demo/eval \
+	demo bench
 
+# Default suite: everything except interpret-mode Pallas runs (those are
+# orders of magnitude slower than the oracle off-TPU; run `make test-slow`
+# for the full matrix).
 test:
+	python -m pytest tests -q -m "not slow"
+
+test-slow:
 	python -m pytest tests -q
 
 test-fast:
-	python -m pytest tests -q -x --ignore=tests/test_ops.py
+	python -m pytest tests -q -x -m "not slow" --ignore=tests/test_ops.py
 
 # Generate a small synthetic dataset (no external renderer needed).
 demo/data:

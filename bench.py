@@ -146,7 +146,11 @@ def main():
 
     dt = None
     used_tile = None
-    default_ladder = [(1024, 256), (768, 192), (512, 128)]
+    # Pad must exceed the model's receptive-field radius (~40 px: U-Net
+    # pyramid ~30 + splat halo 10); beyond that, smaller pads cut the
+    # overlap overhead (reprocessed area = (tile/(tile-2*pad))^2: 1.44x at
+    # 768/64 vs 4x at the reference's 1024/256).
+    default_ladder = [(768, 64), (512, 64), (256, 64)]
     ladder = ([(TILE_SIZE, TILE_PAD or TILE_SIZE // 4)] + default_ladder
               if TILE_SIZE else default_ladder)
     for i, (tile_size, tile_pad) in enumerate(ladder):

@@ -55,11 +55,17 @@ def extract_patches(data, k):
     bs, c, h, w = data.shape
     o = (k - 1) // 2
     dp = jnp.pad(data, ((0, 0), (0, 0), (o, o), (o, o)))
-    taps = []
-    for dy in range(k):
-        for dx in range(k):
-            taps.append(lax.dynamic_slice(dp, (0, 0, dy, dx), (bs, c, h, w)))
-    return jnp.stack(taps, axis=2)
+
+    # A scan over taps (rather than an unrolled python loop) keeps the HLO
+    # graph O(1) in k^2 — at the flagship k=21 an unrolled loop is 441
+    # dynamic-slices per op and makes CPU-backend compiles of the full model
+    # take tens of minutes.
+    def tap(_, i):
+        dy, dx = i // k, i % k
+        return None, lax.dynamic_slice(dp, (0, 0, dy, dx), (bs, c, h, w))
+
+    _, taps = lax.scan(tap, None, jnp.arange(k * k))  # [k2, bs, c, h, w]
+    return taps.transpose(1, 2, 0, 3, 4)
 
 
 def kernel_weighting_ref(data, weights):
@@ -96,14 +102,16 @@ def scatter2gather_ref(weights):
     bs, k2, h, w = weights.shape
     o = (k - 1) // 2
     # Flip the tap axes: wf[n, dy, dx] = weights[n, k-1-dy, k-1-dx].
-    wf = weights.reshape(bs, k, k, h, w)[:, ::-1, ::-1]
-    wf = jnp.pad(wf, ((0, 0), (0, 0), (0, 0), (o, o), (o, o)))
-    taps = []
-    for dy in range(k):
-        for dx in range(k):
-            taps.append(lax.dynamic_slice(wf, (0, dy, dx, dy, dx),
-                                          (bs, 1, 1, h, w)))
-    return jnp.concatenate(taps, axis=1).reshape(bs, k2, h, w)
+    wf = weights.reshape(bs, k, k, h, w)[:, ::-1, ::-1].reshape(bs, k2, h, w)
+    wf = jnp.pad(wf, ((0, 0), (0, 0), (o, o), (o, o)))
+
+    # Scan over taps: see extract_patches for why this is not unrolled.
+    def tap(_, i):
+        dy, dx = i // k, i % k
+        return None, lax.dynamic_slice(wf, (0, i, dy, dx), (bs, 1, h, w))
+
+    _, taps = lax.scan(tap, None, jnp.arange(k2))  # [k2, bs, 1, h, w]
+    return taps[:, :, 0].transpose(1, 0, 2, 3)
 
 
 def kernel_weighting_grad_ref(data, weights, d_output, d_sum_w):

@@ -7,9 +7,17 @@ kernel (incl. the fused progressive-splat path) against a numpy oracle,
 (3) times the full-model tiled 1080p denoise (the bench protocol), and
 (4) runs a few real train steps. Prints a summary; used to (re)tune
 kernel tile sizes whenever hardware is available.
+
+Timing methodology: remote/tunneled TPU backends do not fence on
+``block_until_ready`` and a host fetch costs a large fixed round trip, so
+every measurement chains K iterations inside one jit (``lax.scan`` with a
+data dependence between iterations) and reports the wall-clock difference
+between a long and a short chain — fixed overhead cancels (same protocol
+as bench.py).
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -41,6 +49,35 @@ def np_s2g(wts):
     wp = np.pad(wf, ((0, 0), (0, 0), (o, o), (o, o)))
     return np.stack([wp[:, dy * k + dx, dy:dy + h, dx:dx + w]
                      for dy in range(k) for dx in range(k)], 1)
+
+
+def chain_timer(step_fn, init_carry, iters=8):
+    """Per-iteration seconds of ``carry -> carry`` via scan-chain timing.
+
+    Compiles two chains (1 and 1+iters), runs each and fetches one scalar;
+    returns ``(t_long - t_short) / iters``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def run(c0, k):
+        c, _ = jax.lax.scan(lambda c, _: (step_fn(c), None), c0, None,
+                            length=k)
+        leaves = jax.tree_util.tree_leaves(c)
+        return sum(jnp.sum(l.ravel()[:1].astype(jnp.float32))
+                   for l in leaves)
+
+    def timed(k):
+        t0 = time.perf_counter()
+        float(run(init_carry, k))
+        return time.perf_counter() - t0
+
+    timed(1)              # compile short chain
+    timed(1 + iters)      # compile long chain
+    t1 = min(timed(1) for _ in range(2))
+    t2 = timed(1 + iters)
+    return max(t2 - t1, 1e-9) / iters
 
 
 def validate(jax, jnp, ops):
@@ -96,60 +133,94 @@ def validate(jax, jnp, ops):
 
 
 def bench_ops(jax, jnp, ops, pallas_kernels):
-    from sbmc_tpu.nn.kernel_apply import (ProgressiveState,
-                                          progressive_kernel_apply)
     rng = np.random.RandomState(0)
-    print("== op micro-benchmarks (k=21) ==", flush=True)
+    print("== op micro-benchmarks (k=21, scan-chain timing) ==", flush=True)
     for bs, h, w in [(4, 512, 512), (1, 1088, 1920)]:
         data = jnp.array(rng.randn(bs, 3, h, w), jnp.float32)
         wts = jnp.array(rng.randn(bs, 441, h, w), jnp.float32)
-        st = (jnp.zeros((bs, 3, h, w)), jnp.zeros((bs, 1, h, w)),
-              jnp.full((bs, 1, h, w), -1e30))
+        nbytes = wts.size * 4
 
-        def timeit(name, fn, *a, iters=8):
-            out = jax.block_until_ready(fn(*a))
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn(*a)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / iters
-            gbs = wts.nbytes / 1e9 / dt
+        def report(name, dt):
+            gbs = nbytes / 1e9 / dt
             print(f"  {name} {bs}x{h}x{w}: {dt*1e3:7.2f} ms"
                   f" ({gbs:5.0f} GB/s per kernel-tensor pass)", flush=True)
-            return dt
 
-        for bh in (8, 16, 32):
+        # kw_fwd across block heights: chain via data' = out.
+        for bh in (None, 8, 16, 32):
             try:
-                fn = jax.jit(lambda d, w, bh=bh:
-                             pallas_kernels.kernel_weighting_fwd_pallas(
-                                 d, w, block_h=bh))
-                timeit(f"kw_fwd  bh={bh}", fn, data, wts)
+                def step(d, bh=bh):
+                    out, _ = pallas_kernels.kernel_weighting_fwd_pallas(
+                        d, wts, block_h=bh)
+                    return out
+                report(f"kw_fwd  bh={bh}", chain_timer(step, data))
             except Exception as e:
                 print(f"  kw_fwd bh={bh} failed: {str(e)[:80]}", flush=True)
-        timeit("s2g        ", jax.jit(
-            lambda w: ops.scatter2gather(w, backend="pallas")), wts)
-        timeit("s2g_max    ", jax.jit(
-            lambda w: ops.scatter2gather_max(w, backend="pallas")), wts)
-        timeit("fused_step ", jax.jit(
-            lambda d, w, a, b, c:
-            ops.progressive_splat_update(d, w, a, b, c, backend="pallas")),
-            data, wts, *st)
-        timeit("unfused    ", jax.jit(
-            lambda d, w, a, b, c: progressive_kernel_apply(
-                d, w, ProgressiveState(a, b, c), splat=True, fused=False)),
-            data, wts, *st)
+
+        # fused-exp kernel (the inference hot path): chain via data' = out.
+        maxes = jnp.zeros((bs, h, w))
+        for bh in (None, 8, 16, 32):
+            try:
+                def step(d, bh=bh):
+                    out, _ = pallas_kernels.kernel_weighting_exp_pallas(
+                        d, wts, maxes, block_h=bh)
+                    return out
+                report(f"kw_exp  bh={bh}", chain_timer(step, data))
+            except Exception as e:
+                print(f"  kw_exp bh={bh} failed: {str(e)[:80]}", flush=True)
+
+        # s2g / s2g+max: chain via weights' = out.
+        try:
+            report("s2g        ", chain_timer(
+                lambda w: ops.scatter2gather(w, backend="pallas"), wts))
+            report("s2g_max    ", chain_timer(
+                lambda w: ops.scatter2gather_max(w, backend="pallas")[0],
+                wts))
+        except Exception as e:
+            print(f"  s2g failed: {str(e)[:80]}", flush=True)
+
+        # d_weights kernel: chain via d_output' = dw[:, :3].
+        try:
+            def step(dout):
+                dw = pallas_kernels.kernel_weighting_dw_pallas(
+                    data, dout, dout[:, 0], 441)
+                return dw[:, :3]
+            report("kw_dw      ", chain_timer(step, data))
+        except Exception as e:
+            print(f"  kw_dw failed: {str(e)[:80]}", flush=True)
+
+        # Fused progressive splat step: the state is a natural carry.
+        try:
+            st = (jnp.zeros((bs, 3, h, w)), jnp.zeros((bs, 1, h, w)),
+                  jnp.full((bs, 1, h, w), -1e30))
+
+            def step(c):
+                return ops.progressive_splat_update(data, wts, *c,
+                                                    backend="pallas")
+            report("fused_step ", chain_timer(step, st))
+
+            from sbmc_tpu.nn.kernel_apply import (ProgressiveState,
+                                                  progressive_kernel_apply)
+
+            def step_u(c):
+                return tuple(progressive_kernel_apply(
+                    data, wts, ProgressiveState(*c), splat=True,
+                    fused=False))
+            report("unfused    ", chain_timer(step_u, st))
+        except Exception as e:
+            print(f"  fused failed: {str(e)[:80]}", flush=True)
 
 
 def model_variants(jax, jnp):
     """Time the flagship model per 512^2 4spp tile across precision
     variants to pick bench defaults."""
-    print("== full-model variants (512^2, 4 spp, one tile) ==", flush=True)
+    print("== full-model variants (512^2, 4 spp, one tile, chain timing) ==",
+          flush=True)
     from sbmc_tpu.models import Multisteps
     rng = np.random.RandomState(0)
     batch = {
-        "radiance": rng.rand(1, 4, 3, 512, 512).astype(np.float32),
-        "features": rng.rand(1, 4, 93, 512, 512).astype(np.float32),
-        "global_features": rng.rand(1, 3, 1, 1).astype(np.float32),
+        "radiance": jnp.array(rng.rand(1, 4, 3, 512, 512), jnp.float32),
+        "features": jnp.array(rng.rand(1, 4, 93, 512, 512), jnp.float32),
+        "global_features": jnp.array(rng.rand(1, 3, 1, 1), jnp.float32),
     }
     for name, kw in [
             ("f32", {}),
@@ -160,13 +231,14 @@ def model_variants(jax, jnp):
         try:
             model = Multisteps(n_features=93, n_global_features=3, **kw)
             params = model.init(jax.random.PRNGKey(0), batch)
-            fn = jax.jit(model.apply)
-            out = jax.block_until_ready(fn(params, batch)["radiance"])
-            t0 = time.perf_counter()
-            for _ in range(5):
-                out = fn(params, batch)["radiance"]
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / 5
+
+            def step(acc):
+                b = dict(batch)
+                b["global_features"] = b["global_features"] + acc * 1e-30
+                out = model.apply(params, b)["radiance"]
+                return acc + jnp.mean(out)
+
+            dt = chain_timer(step, jnp.float32(0), iters=4)
             print(f"  {name:12s}: {dt*1e3:7.1f} ms/tile", flush=True)
         except Exception as e:
             print(f"  {name:12s}: FAILED {str(e)[:100]}", flush=True)
@@ -182,7 +254,10 @@ def bench_model(jax, jnp):
 
 
 def train_steps(jax, jnp):
-    print("== train steps (synthetic, TPU) ==", flush=True)
+    """Real train-step timing at the paper config (ksize=21, width=128,
+    nsteps=3) on synthetic data: difference between an 11-step and a 1-step
+    enqueue burst (single fetch each) isolates device step time."""
+    print("== train steps (synthetic, paper config) ==", flush=True)
     import tempfile
 
     from sbmc_tpu.data import Loader, TilesDataset
@@ -194,7 +269,7 @@ def train_steps(jax, jnp):
     generate_dataset(d, n_scenes=1, ts=128, tiles_per_side=1, spp=8,
                      gt_spp=32, seed=0)
     data = TilesDataset(d, spp=8)
-    loader = Loader(data, batch_size=1, shuffle=True, num_threads=2,
+    loader = Loader(data, batch_size=4, shuffle=True, num_threads=2,
                     drop_last=False)
     model = Multisteps(n_features=data.num_features,
                        n_global_features=data.num_global_features)
@@ -203,15 +278,23 @@ def train_steps(jax, jnp):
     state = iface.init(jax.random.PRNGKey(0), batch)
     t0 = time.perf_counter()
     state, m = iface.train_step(state, batch)
-    print("  first step (compile):", time.perf_counter() - t0, "s",
-          "loss", float(m["loss"]), flush=True)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        state, m = iface.train_step(state, batch)
-    jax.block_until_ready(m["loss"])
-    print("  steady step: %.1f ms, loss %.5f" %
-          ((time.perf_counter() - t0) / 5 * 1e3, float(m["loss"])),
-          flush=True)
+    loss0 = float(m["loss"])
+    print("  first step (compile+run): %.1f s, loss %.5f"
+          % (time.perf_counter() - t0, loss0), flush=True)
+
+    def burst(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = iface.train_step(state, batch)
+        float(m["loss"])
+        return time.perf_counter() - t0
+
+    burst(1)
+    t1 = min(burst(1) for _ in range(2))
+    t10 = burst(11)
+    print("  steady step (bs=4, 128^2, 8 spp, ksize 21): %.1f ms"
+          % ((t10 - t1) / 10 * 1e3), flush=True)
 
 
 def main(args):

@@ -16,7 +16,11 @@ import pytest
 from sbmc_tpu import ops
 from sbmc_tpu.ops import reference
 
-BACKENDS = ["xla", "pallas_interpret"]
+# Interpret-mode Pallas runs are orders of magnitude slower than the XLA
+# oracle on this 1-core host; they carry the kernel-logic coverage, so they
+# stay in the suite but behind the "slow" marker (make test-slow).
+BACKENDS = ["xla",
+            pytest.param("pallas_interpret", marks=pytest.mark.slow)]
 
 
 def _impulse(bs, c, h, w, y, x, val=1.0):
@@ -241,7 +245,8 @@ def test_scatter2gather_gradcheck(backend, rng):
 # Pallas vs oracle equivalence (the CPU-Halide-validates-CUDA role)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("k", [3, 5, 21])
+@pytest.mark.parametrize(
+    "k", [3, 5, pytest.param(21, marks=pytest.mark.slow)])
 def test_pallas_matches_oracle_fwd(k, rng):
     bs, c, h, w = 2, 3, 24, 33
     data = rng.randn(bs, c, h, w).astype(np.float32)
@@ -254,7 +259,8 @@ def test_pallas_matches_oracle_fwd(k, rng):
     assert np.allclose(np.array(sw_x), np.array(sw_p), atol=1e-4)
 
 
-@pytest.mark.parametrize("k", [3, 21])
+@pytest.mark.parametrize(
+    "k", [3, pytest.param(21, marks=pytest.mark.slow)])
 def test_pallas_matches_oracle_s2g(k, rng):
     bs, h, w = 1, 17, 40
     wts = rng.randn(bs, k * k, h, w).astype(np.float32)
@@ -271,7 +277,7 @@ def test_pallas_matches_oracle_bwd(rng):
     d_sw = rng.randn(bs, h, w).astype(np.float32)
 
     grads = {}
-    for backend in BACKENDS:
+    for backend in ["xla", "pallas_interpret"]:
         def f(d, wt):
             return ops.kernel_weighting(d, wt, backend=backend)
         _, vjp = jax.vjp(f, jnp.array(data), jnp.array(wts))

@@ -112,3 +112,112 @@ class TestWavefront:
                                      spp=1, gt_spp=1)
         flags = set(np.unique(tile.bt[0, 0]).tolist())
         assert (pathtracer.BT_REFLECTION | pathtracer.BT_GLOSSY) in flags
+
+
+class TestExtendedPhysics:
+    """Round-2 tracer upgrades: MIS pdf records, new materials/geometry,
+    scene-radius normalization (VERDICT round-1 items 5/6)."""
+
+    def test_mis_pdf_layout(self):
+        """p stores 4 pdfs per vertex, vertex-major, normalized
+        log(p + 1e-8)/30: (light_pdf, bsdf_pdf(w_light),
+        bsdf_pdf(w_sampled), light_pdf(w_sampled))."""
+        scene = _simple_scene()
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(7), ts=16,
+                                     spp=1, gt_spp=1)
+        p = tile.p[0]  # [4*D, ts, ts]
+        assert p.shape[0] == 4 * bin_format.PATH_DEPTH
+        hit = tile.features[0, 20] > 0.5
+        assert hit.any()
+        raw = np.exp(30.0 * p) - 1e-8  # invert the writer normalization
+        lpdf0, bpdf_l0, bpdf_o0 = raw[0], raw[1], raw[2]
+        # Light pdf of an area light at finite distance is strictly
+        # positive on hit pixels; ~0 (log(1e-8)) on misses.
+        assert (lpdf0[hit] > 1e-6).all()
+        assert np.allclose(p[0][~hit], np.log(1e-8) / 30.0, atol=1e-5)
+        # Diffuse-at-first-vertex pixels: bsdf pdf at the light direction
+        # is a cosine lobe, bounded by 1/pi.
+        diffuse = tile.bt[0, 0] == (pathtracer.BT_REFLECTION
+                                    | pathtracer.BT_DIFFUSE)
+        assert diffuse.any()
+        assert (bpdf_l0[diffuse] <= 1.0 / np.pi + 1e-4).all()
+        # The sampled-direction bsdf pdf is positive wherever we hit.
+        assert (bpdf_o0[hit] > 1e-6).all()
+
+    def test_glass_transmission_flags(self):
+        scene = _simple_scene()
+        scene.centers = np.array([[0.0, 1.0, 4.0]])
+        scene.radii = np.array([1.4])
+        scene.mat_type = np.array([pathtracer.MAT_GLASS])
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(8), ts=24,
+                                     spp=2, gt_spp=1)
+        flags = set(np.unique(tile.bt[:, :2]).tolist())
+        assert (pathtracer.BT_TRANSMISSION | pathtracer.BT_SPECULAR) in flags
+        assert np.isfinite(tile.features).all()
+
+    def test_box_in_gbuffer(self):
+        scene = _simple_scene()
+        scene.centers = np.array([[100.0, 1.0, 5.0]])  # sphere out of view
+        scene.box_centers = np.array([[0.0, 1.0, 5.0]])
+        scene.box_half = np.array([[1.0, 1.0, 1.0]])
+        scene.mat_type = np.array([pathtracer.MAT_DIFFUSE,
+                                   pathtracer.MAT_DIFFUSE])
+        scene.albedos = np.array([[0.1, 0.1, 0.1], [0.9, 0.1, 0.1]])
+        scene.roughness = np.array([1.0, 1.0])
+        scene.motion = np.zeros((2, 3))
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(9), ts=24,
+                                     spp=1, gt_spp=1)
+        c = 12
+        # Center pixel sees the box front face: red-ish albedo, normal -z.
+        assert tile.features[0, 21, c, c] > 0.5  # albedo_first_r
+        assert tile.features[0, 13, c, c] < -0.9  # normal_first_z faces cam
+        assert np.isfinite(tile.features).all()
+
+    def test_scene_radius_normalizes_depth(self):
+        """Depth features scale with 1/(10*scene_radius) — round 1
+        hardcoded 12.0 (VERDICT weak #4)."""
+        a = _simple_scene()
+        b = _simple_scene()
+        b.scene_radius = 24.0  # a uses the 12.0 default
+        ta = render_tile_wavefront(a, jax.random.PRNGKey(10), ts=16,
+                                   spp=1, gt_spp=1)
+        tb = render_tile_wavefront(b, jax.random.PRNGKey(10), ts=16,
+                                   spp=1, gt_spp=1)
+        da, db = ta.features[0, 17], tb.features[0, 17]  # depth_first
+        hit = ta.features[0, 20] > 0.5
+        assert hit.any()
+        np.testing.assert_allclose(db[hit], 0.5 * da[hit], rtol=1e-4)
+
+    def test_sun_adds_energy(self):
+        base = _simple_scene()
+        sunny = _simple_scene()
+        sunny.sun_color = np.array([20.0, 20.0, 20.0])
+        sunny.sun_dir = np.array([0.0, 1.0, 0.0])
+        sunny.sun_exp = 30.0
+
+        def mean_radiance(s):
+            t = render_tile_wavefront(s, jax.random.PRNGKey(11), ts=16,
+                                      spp=2, gt_spp=1)
+            return (t.features[:, 5:8] + t.features[:, 8:11]).mean()
+
+        assert mean_radiance(sunny) > mean_radiance(base) + 1e-4
+
+    def test_random_scene_material_mix(self):
+        rng = np.random.RandomState(3)
+        mats = np.concatenate([
+            random_tracer_scene(rng, n_spheres=20, n_boxes=10).mat_type
+            for _ in range(8)])
+        # All five material classes appear in a large sample.
+        assert set(np.unique(mats)) == {
+            pathtracer.MAT_DIFFUSE, pathtracer.MAT_MIRROR,
+            pathtracer.MAT_GLASS, pathtracer.MAT_METAL,
+            pathtracer.MAT_PLASTIC}
+
+    def test_random_scene_renders_finite(self):
+        rng = np.random.RandomState(4)
+        scene = random_tracer_scene(rng)
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(12), ts=16,
+                                     spp=2, gt_spp=2)
+        for arr in [tile.features, tile.pixel_data, tile.p, tile.ld]:
+            assert np.isfinite(arr).all()
+        assert (tile.features[:, 5:11] >= 0).all()
