@@ -829,9 +829,11 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
     image_width = image_width or ts
     image_height = image_height or ts
     scn = scene.as_jax()
-    mean, var, feats, p, ld, bt = _render_tile_jit(
+    # Single device_get for all outputs: on tunneled TPU backends each
+    # host fetch pays a large fixed round trip.
+    mean, var, feats, p, ld, bt = jax.device_get(_render_tile_jit(
         scn, key, ts, block_x, block_y, image_width, image_height, spp,
-        gt_spp)
+        gt_spp))
 
     def img(x):  # [N, C] -> [C, ts, ts]
         return np.asarray(x).reshape(ts, ts, -1).transpose(2, 0, 1)

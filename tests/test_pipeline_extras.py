@@ -342,3 +342,73 @@ class TestSSIMGolden:
         a, _, _, g = self._fixtures()
         assert abs(evaluation.ssim(a, a) - 1.0) < 1e-12
         assert abs(evaluation.ssim(g, g) - 1.0) < 1e-12
+
+
+class TestComparisonBaselines:
+    """Native classical baselines (NLM / cross-bilateral): smoke + denoising
+    sanity (the role of the reference's dockerized prior-method builds)."""
+
+    def _noisy_scene(self, rng, h=24, w=28):
+        import jax.numpy as jnp
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        clean = np.stack([0.2 + 0.5 * (xx > w // 2),
+                          0.3 + 0.4 * (yy > h // 2),
+                          0.5 * np.ones_like(xx)], 0).astype(np.float32)
+        a = clean + rng.normal(0, 0.15, clean.shape).astype(np.float32)
+        b = clean + rng.normal(0, 0.15, clean.shape).astype(np.float32)
+        var = np.full(clean.shape, 0.15 ** 2, np.float32)
+        return clean, a, b, var
+
+    def test_nlm_reduces_noise(self, rng):
+        from sbmc_tpu.comparisons import nlm_denoise
+        clean, a, b, var = self._noisy_scene(rng)
+        out = np.asarray(nlm_denoise(a, b, var, patch_r=2, window_r=4))
+        mse_in = ((0.5 * (a + b) - clean) ** 2).mean()
+        mse_out = ((out - clean) ** 2).mean()
+        assert np.isfinite(out).all()
+        assert mse_out < 0.5 * mse_in
+
+    def test_nlm_constant_is_identity(self):
+        from sbmc_tpu.comparisons import nlm_denoise
+        c = np.full((3, 16, 16), 0.25, np.float32)
+        var = np.full((3, 16, 16), 1e-4, np.float32)
+        out = np.asarray(nlm_denoise(c, c, var, patch_r=2, window_r=3))
+        np.testing.assert_allclose(out, c, atol=1e-5)
+
+    def test_cbf_respects_feature_edges(self, rng):
+        """An albedo edge must survive the filter even under heavy noise."""
+        from sbmc_tpu.comparisons import cross_bilateral_denoise
+        h, w = 20, 24
+        edge = (np.arange(w) > w // 2).astype(np.float32)
+        clean = np.tile(edge, (3, h, 1)) * 0.6 + 0.2
+        noisy = clean + rng.normal(0, 0.2, clean.shape).astype(np.float32)
+        var = np.full(clean.shape, 0.2 ** 2 / 4, np.float32)
+        albedo = np.tile(edge, (3, h, 1)).astype(np.float32)
+        normal = np.tile(np.array([0, 0, -1.0], np.float32)[:, None, None],
+                         (1, h, w))
+        depth = np.ones((1, h, w), np.float32) * 0.1
+        out = np.asarray(cross_bilateral_denoise(
+            noisy, var, albedo, normal, depth, window_r=4))
+        mse_in = ((noisy - clean) ** 2).mean()
+        mse_out = ((out - clean) ** 2).mean()
+        assert mse_out < 0.5 * mse_in
+        # Edge contrast preserved within 20%.
+        left = out[0, :, : w // 2 - 2].mean()
+        right = out[0, :, w // 2 + 2:].mean()
+        assert right - left > 0.8 * 0.6
+
+    def test_denoise_buffers_from_samples(self, rng, tmp_path):
+        """End-to-end on real .bin records through the RAW_MODE stack."""
+        from sbmc_tpu.comparisons import denoise_buffers
+        from sbmc_tpu.data import TilesDataset
+        from sbmc_tpu.render import pathtracer
+        pathtracer.generate_wavefront_dataset(
+            str(tmp_path), n_scenes=1, ts=16, tiles_per_side=1, spp=4,
+            gt_spp=2, seed=5)
+        d = TilesDataset(str(tmp_path), mode=TilesDataset.RAW_MODE, spp=4)
+        item = d[0]
+        for method in ("nlm", "cbf"):
+            out = denoise_buffers(item["features"], d.labels, method=method,
+                                  window_r=3)
+            assert out.shape == (3, 16, 16)
+            assert np.isfinite(out).all()
