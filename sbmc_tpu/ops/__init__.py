@@ -143,6 +143,16 @@ def _progressive_splat_update(data, klogits, sum_r, sum_w, max_w, backend):
 
 
 def _psu_fwd(data, klogits, sum_r, sum_w, max_w, backend):
+    if backend != "xla":
+        # Fully-fused Pallas path: the kernel tensor crosses HBM exactly
+        # once (gather-from-splat indexing + in-register online softmax).
+        new_sum_r, new_sum_w, new_max = \
+            pallas_kernels.progressive_splat_fused_pallas(
+                data, klogits, sum_r, sum_w, max_w,
+                interpret=(backend == "pallas_interpret"))
+        scaler = jnp.exp(max_w - new_max)
+        out = (new_sum_r, new_sum_w, new_max)
+        return out, (data, klogits, new_max, scaler)
     g, kmax = _s2g_max_impl(klogits, backend)
     new_max = jnp.maximum(kmax[:, None], max_w)       # [bs, 1, h, w]
     scaler = jnp.exp(max_w - new_max)

@@ -41,6 +41,7 @@ __all__ = [
     "kernel_weighting_dw_pallas",
     "scatter2gather_pallas",
     "scatter2gather_max_pallas",
+    "progressive_splat_fused_pallas",
 ]
 
 
@@ -77,7 +78,10 @@ def _pick_blocks(h, w, block_h, block_w, k2=1, streams=3, dtype=None):
         return (block_h if block_h is not None else sub,
                 block_w if block_w is not None else (128 if w <= 256
                                                      else 256))
-    for th, tw in ((2 * sub, 256), (sub, 256), (sub, 128)):
+    # Taller tiles amortize the halo overfetch; the v5e sweep
+    # (scripts/tpu_session.py, 2026-08-16) measured TH=32 fastest for every
+    # kernel that fits (kw_fwd 3.78 ms vs 3.97 at TH=8; kw_exp 3.52 vs 7.41).
+    for th, tw in ((4 * sub, 256), (2 * sub, 256), (sub, 256), (sub, 128)):
         if streams * k2 * th * tw * itemsize <= _VMEM_LIMIT:
             return th, tw
     return sub, 128
@@ -144,7 +148,7 @@ def kernel_weighting_fwd_pallas(data, weights, *, block_h=None, block_w=None,
     k2 = weights.shape[1]
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=3)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -229,7 +233,7 @@ def kernel_weighting_exp_pallas(data, logits, maxes, *, block_h=None,
     k2 = logits.shape[1]
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=8,
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=6.5,
                           dtype=logits.dtype)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
@@ -308,7 +312,7 @@ def kernel_weighting_dw_pallas(data, d_output, d_sum_w, k2, *, block_h=None,
     bs, c, h, w = data.shape
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=3)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -412,7 +416,7 @@ def scatter2gather_max_pallas(weights, *, block_h=None, block_w=None,
     o = (K - 1) // 2
     dt = weights.dtype
     sub = 16 if dt == jnp.bfloat16 else 8
-    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=5, dtype=dt)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4, dtype=dt)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, sub)
     RW = _round_up(TW + K - 1, 128)
@@ -457,7 +461,7 @@ def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
     bs, k2, h, w = weights.shape
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=5)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -481,3 +485,152 @@ def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
         compiler_params=_compiler_params(),
     )(wpad)
     return out[:, :, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# fully-fused progressive splat update
+# ---------------------------------------------------------------------------
+
+def _psf_kernel(dp_ref, lp_ref, sr_ref, sw_ref, mw_ref,
+                or_ref, ow_ref, om_ref, dscr, wscr, dsem, wsems, *,
+                K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    dcp = pltpu.make_async_copy(
+        dp_ref.at[n, :, pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)], dscr, dsem)
+    dcp.start()
+
+    def fetch(dy, slot):
+        # Source planes for output tap row dy are the flipped row (K-1-dy),
+        # exactly the scatter2gather indexing (src/scatter2gather.cpp:40-47)
+        # — but here the transposed tensor never materializes in HBM.
+        return pltpu.make_async_copy(
+            lp_ref.at[n, pl.ds((K - 1 - dy) * K, K),
+                      pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+            wscr.at[slot], wsems.at[slot])
+
+    fetch(0, 0).start()
+    m = mw_ref[0, 0].astype(jnp.float32)        # (TH, TW) carry running max
+    accw = jnp.zeros((TH, TW), jnp.float32)
+    dcp.wait()
+    c = dscr.shape[0]
+    accr = jnp.zeros((c, TH, TW), jnp.float32)
+
+    for dy in range(K):
+        slot = dy % 2
+        if dy + 1 < K:
+            fetch(dy + 1, 1 - slot).start()
+        fetch(dy, slot).wait()
+        dband = dscr[:, dy:dy + TH, :]          # (C, TH, RW)
+        # Pass 1: row max over this output-tap row (one rescale per row
+        # instead of per tap keeps the online softmax cheap).
+        rowmax = m
+        for dx in range(K):
+            v = wscr[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
+            rowmax = jnp.maximum(rowmax, v.astype(jnp.float32))
+        s = jnp.exp(m - rowmax)
+        accw = accw * s
+        accr = accr * s[None]
+        m = rowmax
+        # Pass 2: accumulate this row's exponentiated taps.
+        for dx in range(K):
+            v = wscr[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
+            e = jnp.exp(v.astype(jnp.float32) - m)
+            accw += e
+            accr += e[None] * dband[:, :, dx:dx + TW]
+
+    scale = jnp.exp(mw_ref[0, 0].astype(jnp.float32) - m)
+    or_ref[0] = sr_ref[0] * scale[None] + accr
+    ow_ref[0, 0] = sw_ref[0, 0] * scale + accw
+    om_ref[0, 0] = m
+
+
+def _psf_pick_tw(w):
+    """Widest lane tile that divides the (padded) width without waste —
+    wider tiles cut the halo overfetch on the dominant logits stream."""
+    for tw in (512, 384, 256):
+        if w % tw == 0 or w > 2 * tw:
+            return tw
+    return 128 if w <= 128 else 256
+
+
+def progressive_splat_fused_pallas(data, logits, sum_r, sum_w, max_w, *,
+                                   block_h=None, block_w=None,
+                                   interpret=False):
+    """One fused step of the progressive online-softmax splat accumulation
+    (reference semantics: sbmc/modules.py:417-473 = scatter2gather + tap max
+    + exp + kernel_weighting + rescale-accumulate).
+
+    The kernel gathers *directly from the splat logits* with the flipped
+    shifted indexing of scatter2gather and keeps a running (max, sum)
+    online softmax per pixel, so the ``k^2``-plane kernel tensor crosses
+    HBM exactly once — vs three crossings for the composed path (s2g write,
+    s2g read, exp read). The tap max is folded into the same pass
+    (row-block rescaling, flash-attention style).
+
+    Args:
+      data: ``[bs, c, h, w]`` float32 sample radiance.
+      logits: ``[bs, k2, h, w]`` raw splat-kernel logits (f32 or bf16).
+      sum_r: ``[bs, c, h, w]`` running radiance sum.
+      sum_w: ``[bs, 1, h, w]`` running weight sum.
+      max_w: ``[bs, 1, h, w]`` running max.
+
+    Returns:
+      ``(sum_r', sum_w', max_w')`` with the same shapes/dtypes (float32).
+    """
+    bs, c, h, w = data.shape
+    k2 = logits.shape[1]
+    K = _ksize(k2)
+    o = (K - 1) // 2
+    dt = logits.dtype
+    TH = block_h or 32
+    TW = block_w or _psf_pick_tw(w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    RH = _round_up(TH + K - 1, 8)
+    RW = _round_up(TW + K - 1, 128)
+
+    dp = _pad_halo(data, o, hp, wp, RH, RW, TH, TW)
+    lp = _pad_halo(logits, o, hp, wp, RH, RW, TH, TW)
+
+    def sp(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    grid = (bs, hp // TH, wp // TW)
+    out_r, out_w, out_m = pl.pallas_call(
+        functools.partial(_psf_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, c, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bs, 1, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bs, 1, hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, RH, RW), jnp.float32),
+            pltpu.VMEM((2, K, RH, RW), dt),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(dp, lp, sp(sum_r), sp(sum_w), sp(max_w))
+    return (out_r[:, :, :h, :w], out_w[:, :, :h, :w], out_m[:, :, :h, :w])

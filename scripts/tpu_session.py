@@ -51,8 +51,13 @@ def np_s2g(wts):
                      for dy in range(k) for dx in range(k)], 1)
 
 
-def chain_timer(step_fn, init_carry, iters=8):
-    """Per-iteration seconds of ``carry -> carry`` via scan-chain timing.
+def chain_timer(step_fn, init_carry, consts=(), iters=8):
+    """Per-iteration seconds of ``carry, *consts -> carry`` via scan-chain
+    timing.
+
+    ``consts`` are loop-invariant operands passed as explicit jit arguments
+    — closing over large concrete device arrays instead would embed them as
+    graph constants and stall compilation.
 
     Compiles two chains (1 and 1+iters), runs each and fetches one scalar;
     returns ``(t_long - t_short) / iters``.
@@ -61,8 +66,8 @@ def chain_timer(step_fn, init_carry, iters=8):
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames="k")
-    def run(c0, k):
-        c, _ = jax.lax.scan(lambda c, _: (step_fn(c), None), c0, None,
+    def run(c0, cs, k):
+        c, _ = jax.lax.scan(lambda c, _: (step_fn(c, *cs), None), c0, None,
                             length=k)
         leaves = jax.tree_util.tree_leaves(c)
         return sum(jnp.sum(l.ravel()[:1].astype(jnp.float32))
@@ -70,7 +75,7 @@ def chain_timer(step_fn, init_carry, iters=8):
 
     def timed(k):
         t0 = time.perf_counter()
-        float(run(init_carry, k))
+        float(run(init_carry, consts, k))
         return time.perf_counter() - t0
 
     timed(1)              # compile short chain
@@ -133,11 +138,13 @@ def validate(jax, jnp, ops):
 
 
 def bench_ops(jax, jnp, ops, pallas_kernels):
-    rng = np.random.RandomState(0)
+    import jax
     print("== op micro-benchmarks (k=21, scan-chain timing) ==", flush=True)
     for bs, h, w in [(4, 512, 512), (1, 1088, 1920)]:
-        data = jnp.array(rng.randn(bs, 3, h, w), jnp.float32)
-        wts = jnp.array(rng.randn(bs, 441, h, w), jnp.float32)
+        # Generate on device: multi-GB host uploads stall on tunneled links.
+        k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+        data = jax.random.normal(k0, (bs, 3, h, w), jnp.float32)
+        wts = jax.random.normal(k1, (bs, 441, h, w), jnp.float32)
         nbytes = wts.size * 4
 
         def report(name, dt):
@@ -148,11 +155,11 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
         # kw_fwd across block heights: chain via data' = out.
         for bh in (None, 8, 16, 32):
             try:
-                def step(d, bh=bh):
+                def step(d, w, bh=bh):
                     out, _ = pallas_kernels.kernel_weighting_fwd_pallas(
-                        d, wts, block_h=bh)
+                        d, w, block_h=bh)
                     return out
-                report(f"kw_fwd  bh={bh}", chain_timer(step, data))
+                report(f"kw_fwd  bh={bh}", chain_timer(step, data, (wts,)))
             except Exception as e:
                 print(f"  kw_fwd bh={bh} failed: {str(e)[:80]}", flush=True)
 
@@ -160,11 +167,12 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
         maxes = jnp.zeros((bs, h, w))
         for bh in (None, 8, 16, 32):
             try:
-                def step(d, bh=bh):
+                def step(d, w, m, bh=bh):
                     out, _ = pallas_kernels.kernel_weighting_exp_pallas(
-                        d, wts, maxes, block_h=bh)
+                        d, w, m, block_h=bh)
                     return out
-                report(f"kw_exp  bh={bh}", chain_timer(step, data))
+                report(f"kw_exp  bh={bh}",
+                       chain_timer(step, data, (wts, maxes)))
             except Exception as e:
                 print(f"  kw_exp bh={bh} failed: {str(e)[:80]}", flush=True)
 
@@ -180,11 +188,11 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
 
         # d_weights kernel: chain via d_output' = dw[:, :3].
         try:
-            def step(dout):
+            def step(dout, d):
                 dw = pallas_kernels.kernel_weighting_dw_pallas(
-                    data, dout, dout[:, 0], 441)
+                    d, dout, dout[:, 0], 441)
                 return dw[:, :3]
-            report("kw_dw      ", chain_timer(step, data))
+            report("kw_dw      ", chain_timer(step, data, (data,)))
         except Exception as e:
             print(f"  kw_dw failed: {str(e)[:80]}", flush=True)
 
@@ -193,19 +201,25 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
             st = (jnp.zeros((bs, 3, h, w)), jnp.zeros((bs, 1, h, w)),
                   jnp.full((bs, 1, h, w), -1e30))
 
-            def step(c):
-                return ops.progressive_splat_update(data, wts, *c,
+            def step(c, d, w):
+                return ops.progressive_splat_update(d, w, *c,
                                                     backend="pallas")
-            report("fused_step ", chain_timer(step, st))
+            report("fused_step ", chain_timer(step, st, (data, wts)))
 
             from sbmc_tpu.nn.kernel_apply import (ProgressiveState,
                                                   progressive_kernel_apply)
 
-            def step_u(c):
+            def step_u(c, d, w):
                 return tuple(progressive_kernel_apply(
-                    data, wts, ProgressiveState(*c), splat=True,
+                    d, w, ProgressiveState(*c), splat=True,
                     fused=False))
-            report("unfused    ", chain_timer(step_u, st))
+            report("unfused    ", chain_timer(step_u, st, (data, wts)))
+
+            def step_f(c, d, w):
+                return pallas_kernels.progressive_splat_fused_pallas(
+                    d, w, *c)
+            st4 = (st[0], st[1], st[2])
+            report("fullyfused ", chain_timer(step_f, st4, (data, wts)))
         except Exception as e:
             print(f"  fused failed: {str(e)[:80]}", flush=True)
 
@@ -232,13 +246,13 @@ def model_variants(jax, jnp):
             model = Multisteps(n_features=93, n_global_features=3, **kw)
             params = model.init(jax.random.PRNGKey(0), batch)
 
-            def step(acc):
-                b = dict(batch)
+            def step(acc, p, b):
+                b = dict(b)
                 b["global_features"] = b["global_features"] + acc * 1e-30
-                out = model.apply(params, b)["radiance"]
+                out = model.apply(p, b)["radiance"]
                 return acc + jnp.mean(out)
 
-            dt = chain_timer(step, jnp.float32(0), iters=4)
+            dt = chain_timer(step, jnp.float32(0), (params, batch), iters=4)
             print(f"  {name:12s}: {dt*1e3:7.1f} ms/tile", flush=True)
         except Exception as e:
             print(f"  {name:12s}: FAILED {str(e)[:100]}", flush=True)

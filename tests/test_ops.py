@@ -332,3 +332,23 @@ def test_fused_update_interpret_small(rng):
                                      backend="pallas_interpret")
     for x, y in zip(a, b):
         assert np.allclose(np.array(x), np.array(y), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,k", [((10, 140), 3), ((33, 70), 5)])
+def test_fused_full_update_matches_oracle(shape, k, rng):
+    """The fully-fused progressive splat kernel (single HBM crossing,
+    in-register online softmax) must match the composed oracle from any
+    starting state, including across tile boundaries."""
+    h, w = shape
+    data = rng.randn(2, 3, h, w).astype(np.float32)
+    wts = rng.randn(2, k * k, h, w).astype(np.float32)
+    st = (jnp.array(rng.randn(2, 3, h, w), jnp.float32),
+          jnp.array(np.abs(rng.randn(2, 1, h, w)), jnp.float32),
+          jnp.array(rng.randn(2, 1, h, w), jnp.float32))
+    a = ops.progressive_splat_update(jnp.array(data), jnp.array(wts), *st,
+                                     backend="xla")
+    b = ops.progressive_splat_update(jnp.array(data), jnp.array(wts), *st,
+                                     backend="pallas_interpret")
+    for x, y in zip(a, b):
+        assert np.allclose(np.array(x), np.array(y), atol=2e-4), \
+            np.abs(np.array(x) - np.array(y)).max()
