@@ -50,6 +50,9 @@ TILE_SIZE = int(os.environ.get("SBMC_BENCH_TILE", 0)) or None
 TILE_PAD = int(os.environ.get("SBMC_BENCH_PAD", 0)) or None
 ITERS = int(os.environ.get("SBMC_BENCH_ITERS", 4))
 KSIZE = int(os.environ.get("SBMC_BENCH_KSIZE", 21))
+# "sbmc" (flagship Multisteps) or "kpcn" (Bako2017 per-pixel baseline) —
+# both headline configs from BASELINE.md.
+MODEL = os.environ.get("SBMC_BENCH_MODEL", "sbmc")
 
 
 def _is_oom(e):
@@ -72,9 +75,13 @@ def main():
     conv_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16") else None
     kernel_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16_KERNELS") \
         else None
-    model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL,
-                       ksize=KSIZE, conv_dtype=conv_dtype,
-                       kernel_dtype=kernel_dtype)
+    if MODEL == "kpcn":
+        from sbmc_tpu.models import KPCN
+        model = KPCN(ksize=KSIZE, conv_dtype=conv_dtype)
+    else:
+        model = Multisteps(n_features=N_FEATURES, n_global_features=N_GLOBAL,
+                           ksize=KSIZE, conv_dtype=conv_dtype,
+                           kernel_dtype=kernel_dtype)
 
     def run(tile_size, tile_pad):
         # Geometry from the uniform-tile splitter (cheap dummy frame — the
@@ -89,7 +96,20 @@ def main():
         n_tiles = info["ny"] * info["nx"]
 
         def make_tile(key):
-            ks = jax.random.split(key, 3)
+            ks = jax.random.split(key, 5)
+            if MODEL == "kpcn":
+                t = tile_size
+                return {
+                    "kpcn_diffuse_in": jax.random.uniform(
+                        ks[0], (1, 27, t, t)),
+                    "kpcn_specular_in": jax.random.uniform(
+                        ks[1], (1, 27, t, t)),
+                    "kpcn_diffuse_buffer": jax.random.uniform(
+                        ks[2], (1, 3, t, t)),
+                    "kpcn_specular_buffer": jax.random.uniform(
+                        ks[3], (1, 3, t, t)),
+                    "kpcn_albedo": jax.random.uniform(ks[4], (1, 3, t, t)),
+                }
             return {
                 "radiance": jax.random.uniform(
                     ks[0], (1, SPP, 3, tile_size, tile_size)),
@@ -117,7 +137,7 @@ def main():
                 # Per-frame key depends on the carry -> no loop hoisting.
                 outs = frame(params, jax.random.fold_in(key, i))
                 return (i + 1, acc + jnp.mean(outs), outs), None
-            crop = KSIZE - 1
+            crop = 36 if MODEL == "kpcn" else KSIZE - 1  # KPCN: 9 valid 5x5s
             (_, acc, outs), _ = jax.lax.scan(
                 body, (jnp.int32(0), jnp.float32(0),
                        jnp.zeros((n_tiles, 3, tile_size - crop,
@@ -167,7 +187,10 @@ def main():
 
     fps = 1.0 / dt
     print(json.dumps({
-        "metric": "1080p_4spp_denoise_frames_per_sec_per_chip",
+        "metric": "1080p_4spp_denoise_frames_per_sec_per_chip" if
+        MODEL == "sbmc" else
+        "1080p_kpcn_denoise_frames_per_sec_per_chip",
+        "model": MODEL,
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / V100_BASELINE_FPS, 3),

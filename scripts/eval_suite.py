@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Quality-evaluation suite: score the SBMC model against the noisy input
+and the native classical baselines on a held-out scene set.
+
+For every scene in ``--data`` this writes (under ``--output``):
+``gt/<scene>.exr`` (ground-truth pixel statistics recorded with the tiles),
+``<spp>spp_input/``, ``<spp>spp_ours/`` (the trained model via the tiled
+inference path), ``<spp>spp_nlm/`` and ``<spp>spp_cbf/`` (the native
+baselines), then computes PSNR / relMSE / DSSIM per method and writes
+``metrics.csv`` and a markdown table to stdout and ``metrics.md``.
+
+This is the role of the reference's ``make demo/eval`` +
+``scripts/compute_metrics.py`` protocol (reference: Makefile:78-199,
+sbmc/evaluation.py) on data this framework can generate itself.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from sbmc_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
+
+def psnr(im, ref, peak=None):
+    ref_t = np.clip(ref, 0, None)
+    im_t = np.clip(im, 0, None)
+    # Tonemapped PSNR (Reinhard), robust to HDR outliers.
+    ref_t = ref_t / (1 + ref_t)
+    im_t = im_t / (1 + im_t)
+    mse = ((im_t - ref_t) ** 2).mean()
+    return float(10 * np.log10(1.0 / max(mse, 1e-12)))
+
+
+def rel_mse(im, ref, eps=1e-2):
+    return float((((im - ref) ** 2) / (ref ** 2 + eps)).mean())
+
+
+def main(args):
+    import jax
+    from sbmc_tpu import evaluation
+    from sbmc_tpu.comparisons import denoise_buffers
+    from sbmc_tpu.data import FullImagesDataset, TilesDataset
+    from sbmc_tpu.models.build import build_model
+    from sbmc_tpu.parallel.tiles import merge_tiles, pad_back, split_tiles
+    from sbmc_tpu.train import Checkpointer, DenoiserInterface
+    from sbmc_tpu.utils import exr
+    from sbmc_tpu.utils.logging import get_logger, set_logger
+
+    set_logger(args.verbose)
+    log = get_logger("sbmc_tpu.eval_suite")
+
+    meta = Checkpointer.load_meta(args.checkpoint)
+    data_params = dict(meta["data_params"])
+    data_params["spp"] = args.spp
+    model_data = FullImagesDataset(args.data, **data_params)
+    raw_data = FullImagesDataset(args.data, mode=TilesDataset.RAW_MODE,
+                                 spp=args.spp)
+    model = build_model(meta)
+    interface = DenoiserInterface(model)
+    checkpointer = Checkpointer(args.checkpoint)
+    apply_fn = jax.jit(model.apply)
+
+    params = None
+    rows = []
+    methods = ["input", "ours", "nlm", "cbf"]
+    for scene_id in range(len(model_data)):
+        item = model_data[scene_id]
+        raw = raw_data[scene_id]
+        scene = os.path.basename(model_data.get_scene_name(scene_id))
+        gt = np.asarray(item["target_image"]).transpose(1, 2, 0)
+        noisy = np.asarray(item["low_spp"]).transpose(1, 2, 0)
+
+        outs = {"input": noisy}
+
+        # --- ours: overlap-tiled model inference --------------------------
+        batch = {k: v[None] if isinstance(v, np.ndarray) else v
+                 for k, v in item.items()}
+        tiles = split_tiles(batch, max_sz=args.tile_size, pad=args.tile_pad)
+        if params is None:
+            params = model.init(jax.random.PRNGKey(0), tiles[0][0])
+            from sbmc_tpu.train.interface import TrainState
+            state_t = TrainState(params=params,
+                                 opt_state=interface.tx.init(params),
+                                 step=np.zeros((), np.int32))
+            state, step = checkpointer.load_latest(state_t)
+            if step is None:
+                state, step = checkpointer.load_tag(state_t, "final")
+            if step is None:
+                raise RuntimeError("no checkpoint found in %s"
+                                   % args.checkpoint)
+            params = state.params
+            log.info("restored checkpoint at step %s", step)
+        canvas = np.zeros_like(np.asarray(batch["low_spp"]))
+        merged = []
+        for tb, y0, y1, x0, x1, tilepad in tiles:
+            out = apply_fn(params, tb)["radiance"]
+            merged.append((pad_back(tb, np.asarray(out)), y0, y1, x0, x1,
+                           tilepad))
+        merge_tiles(canvas, merged)
+        outs["ours"] = canvas[0].transpose(1, 2, 0)
+
+        # --- classical baselines ------------------------------------------
+        for m in ("nlm", "cbf"):
+            outs[m] = denoise_buffers(raw["features"], raw_data.labels,
+                                      method=m).transpose(1, 2, 0)
+
+        # --- write + score -------------------------------------------------
+        gdir = os.path.join(args.output, "gt")
+        os.makedirs(gdir, exist_ok=True)
+        exr.write(os.path.join(gdir, scene + ".exr"), gt)
+        row = {"scene": scene}
+        for m in methods:
+            mdir = os.path.join(args.output, "%dspp_%s" % (args.spp, m))
+            os.makedirs(mdir, exist_ok=True)
+            exr.write(os.path.join(mdir, scene + ".exr"), outs[m])
+            row[m + "_psnr"] = psnr(outs[m], gt)
+            row[m + "_relmse"] = rel_mse(outs[m], gt)
+            row[m + "_dssim"] = 1.0 - evaluation.ssim(outs[m], gt)
+        rows.append(row)
+        log.info("  %s: " % scene + "  ".join(
+            "%s %.2f dB" % (m, row[m + "_psnr"]) for m in methods))
+
+    # --- aggregate table ----------------------------------------------------
+    lines = ["| method | PSNR (dB) | relMSE | DSSIM |",
+             "|---|---|---|---|"]
+    csv = ["scene," + ",".join(
+        "%s_psnr,%s_relmse,%s_dssim" % (m, m, m) for m in methods)]
+    for r in rows:
+        csv.append(r["scene"] + "," + ",".join(
+            "%.6f,%.6f,%.6f" % (r[m + "_psnr"], r[m + "_relmse"],
+                                r[m + "_dssim"]) for m in methods))
+    for m in methods:
+        lines.append("| %s | %.2f | %.4f | %.4f |" % (
+            m,
+            float(np.mean([r[m + "_psnr"] for r in rows])),
+            float(np.mean([r[m + "_relmse"] for r in rows])),
+            float(np.mean([r[m + "_dssim"] for r in rows]))))
+    table = "\n".join(lines)
+    print(table)
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "metrics.csv"), "w") as f:
+        f.write("\n".join(csv) + "\n")
+    with open(os.path.join(args.output, "metrics.md"), "w") as f:
+        f.write("# Held-out evaluation (%d scenes, %d spp)\n\n%s\n"
+                % (len(rows), args.spp, table))
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", required=True,
+                        help="held-out scene folder (.bin tiles).")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--spp", type=int, default=4)
+    parser.add_argument("--tile_size", type=int, default=512)
+    parser.add_argument("--tile_pad", type=int, default=64)
+    parser.add_argument("--verbose", action="store_true")
+    main(parser.parse_args())
