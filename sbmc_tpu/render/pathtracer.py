@@ -874,12 +874,17 @@ def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
 
     import jax
 
+    import time
+    t_start = time.time()
     for s in range(n_scenes):
         idx = start_index + s
         rng = np.random.RandomState(seed + idx)
         scene = random_tracer_scene(rng)
         sdir = os.path.join(outdir, "scene_%05d" % idx)
         os.makedirs(sdir, exist_ok=True)
+        if s and s % 10 == 0:
+            print("wavefront datagen: %d/%d scenes (%.1f s/scene)"
+                  % (s, n_scenes, (time.time() - t_start) / s), flush=True)
         size = ts * tiles_per_side
         base_key = jax.random.PRNGKey(seed + idx) if key is None else key
         for ty in range(tiles_per_side):

@@ -9,17 +9,34 @@ behaves as expected on any machine.
 
 import os
 
-__all__ = ["honor_env_platform"]
+__all__ = ["honor_env_platform", "enable_compilation_cache"]
 
 
 def honor_env_platform():
     env = os.environ.get("JAX_PLATFORMS")
-    if not env:
+    if env:
+        import jax
+        try:
+            current = jax.config.jax_platforms
+        except AttributeError:
+            current = None
+        if current != env:
+            jax.config.update("jax_platforms", env)
+    enable_compilation_cache()
+
+
+def enable_compilation_cache():
+    """Enable jax's persistent compilation cache (TPU compiles of the big
+    model/tracer graphs take 10s-600s over the remote compile service;
+    caching them on disk makes every entry-point restart cheap). Opt out
+    with ``SBMC_NO_COMPILE_CACHE=1``."""
+    if os.environ.get("SBMC_NO_COMPILE_CACHE"):
         return
     import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/sbmc_jax_cache")
     try:
-        current = jax.config.jax_platforms
-    except AttributeError:
-        current = None
-    if current != env:
-        jax.config.update("jax_platforms", env)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
