@@ -171,16 +171,26 @@ def _psu_bwd(backend, res, cts):
     # reference autograd up to the 1e-8 normalizer epsilon.
     data, klogits, new_max, scaler = res
     d_sum_r_new, d_sum_w_new, _d_max = cts
-    g, _ = _s2g_max_impl(klogits.astype(jnp.float32), backend)
-    e = jnp.exp(g - new_max)
     d_sum_r = d_sum_r_new * scaler
     d_sum_w = d_sum_w_new * scaler
     d_r = d_sum_r_new
     d_w = d_sum_w_new[:, 0]
+    d_max_w = jnp.zeros_like(new_max)
+    if backend != "xla":
+        # Fused backward: two Pallas kernels whose flip/shift algebra puts
+        # every halo on the small cotangent tensors, so the k^2-plane
+        # logits stream is read blocked exactly once per kernel (the
+        # composed path needs three scatter2gather HBM round trips).
+        d_data, d_klogits = pallas_kernels.progressive_splat_bwd_pallas(
+            data, klogits, new_max, d_r, d_w[:, None],
+            interpret=(backend == "pallas_interpret"))
+        return (d_data, d_klogits.astype(klogits.dtype), d_sum_r, d_sum_w,
+                d_max_w)
+    g, _ = _s2g_max_impl(klogits.astype(jnp.float32), backend)
+    e = jnp.exp(g - new_max)
     d_data, _ = _kw_fwd_impl(d_r, _s2g_impl(e, backend), backend)
     d_e = _kw_dw_impl(data, d_r, d_w, klogits.shape[1], backend)
     d_klogits = _s2g_impl(e * d_e, backend).astype(klogits.dtype)
-    d_max_w = jnp.zeros_like(new_max)
     return d_data, d_klogits, d_sum_r, d_sum_w, d_max_w
 
 

@@ -634,3 +634,160 @@ def progressive_splat_fused_pallas(data, logits, sum_r, sum_w, max_w, *,
         compiler_params=_compiler_params(),
     )(dp, lp, sp(sum_r), sp(sum_w), sp(max_w))
     return (out_r[:, :, :h, :w], out_w[:, :, :h, :w], out_m[:, :, :h, :w])
+
+
+# ---------------------------------------------------------------------------
+# fused progressive splat backward
+# ---------------------------------------------------------------------------
+#
+# The composed backward needs three scatter2gather HBM round trips of the
+# k^2-plane tensor (e, s2g(e), s2g(e*d_e)). Substituting the transpose
+# indexing into the gradient formulas eliminates every halo on the logits:
+#
+#   d_data[c, p]    = sum_j exp(L[flip j, p] - m[p - d_j]) * d_r[c, p - d_j]
+#   d_klogits[t, p] = exp(L[t, p] - m[p + d_t])
+#                     * (d_w[p + d_t] + sum_c data[c, p] * d_r[c, p + d_t])
+#
+# (L = splat logits, m = the forward's running max AFTER the update, d_j the
+# tap displacement). Both kernels stream L exactly once as a *blocked* VMEM
+# operand — the halos land on the (c+2)-plane cotangent/max tensors instead
+# of the 441-plane logits.
+
+def _psb_ddata_kernel(hal_ref, l_ref, out_ref, scratch, sem, *,
+                      K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    cp = pltpu.make_async_copy(
+        hal_ref.at[n, :, pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+        scratch, sem)
+    cp.start()
+    lg = l_ref[0]                  # (K2, TH, TW) splat logits, blocked
+    cp.wait()
+    c = scratch.shape[0] - 1
+    acc = jnp.zeros((c, TH, TW), jnp.float32)
+    for dy in range(K):
+        sy = K - 1 - dy            # slice for p - (dy - o)
+        m_band = scratch[0, sy:sy + TH, :]        # (TH, RW)
+        dr_band = scratch[1:, sy:sy + TH, :]      # (C, TH, RW)
+        for dx in range(K):
+            sx = K - 1 - dx
+            flip = (K - 1 - dy) * K + (K - 1 - dx)
+            e = jnp.exp(lg[flip].astype(jnp.float32)
+                        - m_band[:, sx:sx + TW])
+            acc += e[None] * dr_band[:, :, sx:sx + TW]
+    out_ref[0] = acc
+
+
+def _psb_dlogits_kernel(hal_ref, l_ref, d_ref, out_ref, scratch, sem, *,
+                        K, TH, TW, RH, RW):
+    n = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+
+    cp = pltpu.make_async_copy(
+        hal_ref.at[n, :, pl.ds(iy * TH, RH), pl.ds(ix * TW, RW)],
+        scratch, sem)
+    cp.start()
+    lg = l_ref[0]                  # (K2, TH, TW)
+    dat = d_ref[0]                 # (C, TH, TW) data at p, blocked
+    cp.wait()
+    c = dat.shape[0]
+    for dy in range(K):
+        m_band = scratch[0, dy:dy + TH, :]
+        dw_band = scratch[1, dy:dy + TH, :]
+        dr_band = scratch[2:, dy:dy + TH, :]
+        for dx in range(K):
+            t = dy * K + dx
+            e = jnp.exp(lg[t].astype(jnp.float32)
+                        - m_band[:, dx:dx + TW])
+            inner = dw_band[:, dx:dx + TW] + sum(
+                dat[i] * dr_band[i, :, dx:dx + TW] for i in range(c))
+            out_ref[0, t] = e * inner
+
+
+def progressive_splat_bwd_pallas(data, logits, new_max, d_r, d_w, *,
+                                 block_h=None, block_w=None,
+                                 interpret=False):
+    """Backward of the fused progressive splat step (see module comment):
+    returns ``(d_data, d_klogits)`` given the forward residuals.
+
+    Args:
+      data: ``[bs, c, h, w]``; logits: ``[bs, k2, h, w]`` splat logits.
+      new_max: ``[bs, 1, h, w]`` the forward's updated running max.
+      d_r: ``[bs, c, h, w]`` cotangent of the *incremental* radiance sum.
+      d_w: ``[bs, 1, h, w]`` cotangent of the incremental weight sum.
+    """
+    bs, c, h, w = data.shape
+    k2 = logits.shape[1]
+    K = _ksize(k2)
+    o = (K - 1) // 2
+    TH = block_h or 32
+    TW = block_w or _psf_pick_tw(w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    RH = _round_up(TH + K - 1, 8)
+    RW = _round_up(TW + K - 1, 128)
+
+    def sp(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    # Out-of-image positions must contribute zero: pad m with +inf so
+    # exp(L - inf) = 0 kills their taps; d_r/d_w zero-padded.
+    inf = jnp.float32(3e38)
+    mp = _pad_halo(new_max, o, hp, wp, RH, RW, TH, TW)
+    # _pad_halo zero-pads; convert the pad region of m to +inf.
+    ones = _pad_halo(jnp.ones_like(new_max), o, hp, wp, RH, RW, TH, TW)
+    mp = jnp.where(ones > 0, mp, inf)
+    drp = _pad_halo(d_r, o, hp, wp, RH, RW, TH, TW)
+    dwp = _pad_halo(d_w, o, hp, wp, RH, RW, TH, TW)
+
+    grid = (bs, hp // TH, wp // TW)
+
+    halo1 = jnp.concatenate([mp, drp], axis=1)   # (bs, 1+c, ...)
+    d_data = pl.pallas_call(
+        functools.partial(_psb_ddata_kernel, K=K, TH=TH, TW=TW, RH=RH,
+                          RW=RW),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, k2, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, TH, TW),
+                               lambda n, iy, ix: (n, 0, iy, ix),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, c, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1 + c, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(halo1, sp(logits))
+
+    halo2 = jnp.concatenate([mp, dwp, drp], axis=1)  # (bs, 2+c, ...)
+    d_klogits = pl.pallas_call(
+        functools.partial(_psb_dlogits_kernel, K=K, TH=TH, TW=TW, RH=RH,
+                          RW=RW),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, k2, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, TH, TW), lambda n, iy, ix: (n, 0, iy, ix),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k2, TH, TW),
+                               lambda n, iy, ix: (n, 0, iy, ix),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs, k2, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 + c, RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(halo2, sp(logits), sp(data))
+
+    return d_data[:, :, :h, :w], d_klogits[:, :, :h, :w]

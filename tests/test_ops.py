@@ -352,3 +352,32 @@ def test_fused_full_update_matches_oracle(shape, k, rng):
     for x, y in zip(a, b):
         assert np.allclose(np.array(x), np.array(y), atol=2e-4), \
             np.abs(np.array(x) - np.array(y)).max()
+
+
+@pytest.mark.parametrize("shape,k", [((10, 140), 3), ((18, 40), 5)])
+def test_fused_backward_matches_oracle(shape, k, rng):
+    """The fused progressive-splat backward (blocked-logits kernels) must
+    match jax.grad through the composed XLA path, including boundary taps
+    and tile crossings."""
+    h, w = shape
+    data = jnp.array(rng.randn(2, 3, h, w), jnp.float32)
+    wts = jnp.array(rng.randn(2, k * k, h, w), jnp.float32)
+    st = (jnp.array(rng.randn(2, 3, h, w), jnp.float32),
+          jnp.array(np.abs(rng.randn(2, 1, h, w)), jnp.float32),
+          jnp.array(rng.randn(2, 1, h, w), jnp.float32))
+    ct = (jnp.array(rng.randn(2, 3, h, w), jnp.float32),
+          jnp.array(rng.randn(2, 1, h, w), jnp.float32),
+          jnp.array(rng.randn(2, 1, h, w), jnp.float32))
+
+    def scalar(backend):
+        def f(d, wt, s0, s1, s2):
+            out = ops.progressive_splat_update(d, wt, s0, s1, s2,
+                                               backend=backend)
+            return sum(jnp.vdot(o, c) for o, c in zip(out, ct))
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(data, wts, *st)
+
+    ga = scalar("xla")
+    gb = scalar("pallas_interpret")
+    for name, a, b in zip("data wts sum_r sum_w max_w".split(), ga, gb):
+        assert np.allclose(np.array(a), np.array(b), atol=3e-4), \
+            (name, float(jnp.abs(a - b).max()))
