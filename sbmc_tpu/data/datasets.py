@@ -19,6 +19,13 @@ from sbmc_tpu.data import bin_format
 
 __all__ = ["TilesDataset", "FullImagesDataset", "MultiSampleCountDataset"]
 
+#: Records beyond this magnitude are treated as corrupt and zeroed on read
+#: (no legitimate channel approaches it: radiance is scene-bounded, log-pdfs
+#: are ~[-0.62, 1.2], distances are normalized by the scene radius). Rare
+#: degenerate renderer paths otherwise emit values whose square overflows
+#: float32 and poisons losses/metrics.
+_SANE_MAX = 1e4
+
 
 class TilesDataset:
     """Fetches preprocessed sample tiles stored in ``.bin`` files.
@@ -46,10 +53,17 @@ class TilesDataset:
     KPCN_MODE = "kpcn"
 
     def __init__(self, path, spp=None, load_coords=True, load_gbuffer=True,
-                 load_p=True, load_ld=True, load_bt=True, mode="sbmc"):
+                 load_p=True, load_ld=True, load_bt=True, mode="sbmc",
+                 cache_preprocessed=False):
         if mode not in (self.SBMC_MODE, self.RAW_MODE, self.KPCN_MODE):
             raise RuntimeError("Unknown dataset loading mode %s" % mode)
         self.mode = mode
+        # RAM cache of fully-preprocessed samples (features stored float16).
+        # On hosts with slow memory (this image moves ~250 MB/s) the decode
+        # + preprocess passes dominate the train step; epochs 2+ become a
+        # single stack of cached arrays.
+        self.cache_preprocessed = cache_preprocessed
+        self._cache = {}
         self.load_coords = load_coords
         self.load_gbuffer = load_gbuffer
         self.load_p = load_p
@@ -172,11 +186,18 @@ class TilesDataset:
     # -- loading -------------------------------------------------------------
 
     def __getitem__(self, idx):
+        if self.cache_preprocessed and idx in self._cache:
+            return self._cache[idx]
         sample = self._get_raw_data(idx)
         if self.mode == self.KPCN_MODE:
-            return self._preprocess_kpcn(sample)
-        if self.mode == self.SBMC_MODE:
-            return self._preprocess_standard(sample)
+            sample = self._preprocess_kpcn(sample)
+        elif self.mode == self.SBMC_MODE:
+            sample = self._preprocess_standard(sample)
+        if self.cache_preprocessed:
+            if "features" in sample \
+                    and sample["features"].dtype == np.float32:
+                sample["features"] = sample["features"].astype(np.float16)
+            self._cache[idx] = sample
         return sample
 
     def _get_raw_data(self, idx):
@@ -187,6 +208,18 @@ class TilesDataset:
                 or tile.pixel_features != self.pixel_features
                 or tile.path_depth != self.path_depth):
             raise ValueError("Metadata do not match for %s" % fname)
+        # Reader-side guard against rare non-finite records (the reference's
+        # C++ writer zeroes NaN/infinite radiance before saving,
+        # samplerecord.cpp check_radiance; apply the same policy on read so
+        # tiles from any producer train safely — one stray NaN otherwise
+        # poisons the whole step through the NaN fail-fast).
+        for name in ("pixel_data", "features", "p", "ld"):
+            arr = getattr(tile, name)
+            bad = ~np.isfinite(arr) | (np.abs(arr) > _SANE_MAX)
+            if bad.any():
+                arr = arr.copy()
+                arr[bad] = 0.0
+                setattr(tile, name, arr)
 
         sample = {
             "block_x": tile.block_x,

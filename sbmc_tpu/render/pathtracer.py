@@ -276,7 +276,7 @@ def _box_ts(scn, org, dirs, t):
     cb = (scn["box_centers"][None]
           + t[:, None, None] * scn["motion"][None, ns:ns + nb])
     inv = jnp.where(jnp.abs(dirs) > 1e-9, 1.0 / dirs,
-                    jnp.sign(dirs) * 1e9 + 1e9)       # signed big number
+                    jnp.where(dirs >= 0, 1e9, -1e9))  # signed big number
     o = org[:, None, :] - cb                          # [N, B, 3]
     t1 = (-scn["box_half"][None] - o) * inv[:, None, :]
     t2 = (scn["box_half"][None] - o) * inv[:, None, :]
@@ -835,15 +835,22 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
         scn, key, ts, block_x, block_y, image_width, image_height, spp,
         gt_spp))
 
+    def clean(x):
+        # The reference writer zeroes NaN/infinite radiance before saving
+        # (samplerecord.cpp check_radiance); rare degenerate paths (grazing
+        # refractions, pdf underflow) can emit non-finite records here too.
+        return np.nan_to_num(np.asarray(x), nan=0.0, posinf=0.0,
+                             neginf=0.0)
+
     def img(x):  # [N, C] -> [C, ts, ts]
-        return np.asarray(x).reshape(ts, ts, -1).transpose(2, 0, 1)
+        return clean(x).reshape(ts, ts, -1).transpose(2, 0, 1)
 
     def simg(x):  # [spp, N, C] -> [spp, C, ts, ts]
-        return np.asarray(x).reshape(spp, ts, ts, -1).transpose(0, 3, 1, 2)
+        return clean(x).reshape(spp, ts, ts, -1).transpose(0, 3, 1, 2)
 
     # Probability normalization like the reference writer
     # (samplerecord normalize_probabilities): log(p + 1e-8) / 30.
-    p_n = np.log(np.asarray(p) + 1e-8) / 30.0
+    p_n = np.log(np.minimum(clean(p), 1e12) + 1e-8) / 30.0
 
     inv_norm = 1.0 / (10.0 * scene.scene_radius)
     return bin_format.Tile(

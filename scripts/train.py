@@ -56,13 +56,24 @@ def main(args):
     )
 
     pad_spp = None
+    random_mask_spp = None
     if args.randomize_spp and not args.kpcn_mode:
-        data = MultiSampleCountDataset(args.data, **data_args)
-        pad_spp = args.spp
+        if args.cache_ram:
+            # Cached mode: keep every tile at full spp (preprocessed once,
+            # float16) and randomize the *valid* sample count per item via
+            # the mask — numerically identical to training on fewer samples
+            # (masked samples contribute exactly zero).
+            data = TilesDataset(args.data, cache_preprocessed=True,
+                                **data_args)
+            random_mask_spp = (2, args.spp)
+        else:
+            data = MultiSampleCountDataset(args.data, **data_args)
+            pad_spp = args.spp
         log.info("Training with randomized sample count (2..%d, padded "
                  "+ masked to a single compiled shape)", args.spp)
     else:
-        data = TilesDataset(args.data, **data_args)
+        data = TilesDataset(args.data, cache_preprocessed=args.cache_ram,
+                            **data_args)
     log.info("Training dataset: %s", data)
 
     val_data = None
@@ -97,7 +108,8 @@ def main(args):
 
     loader = Loader(data, batch_size=args.bs, shuffle=True, pad_spp=pad_spp,
                     num_threads=args.num_worker_threads,
-                    shard_id=proc_id, num_shards=n_procs)
+                    shard_id=proc_id, num_shards=n_procs,
+                    random_mask_spp=random_mask_spp)
     val_loader = None
     if val_data is not None:
         val_loader = Loader(val_data, batch_size=args.bs, shuffle=False,
@@ -159,6 +171,11 @@ if __name__ == "__main__":
     parser.add_argument("--dont_use_ld", action="store_true")
     parser.add_argument("--dont_use_bt", action="store_true")
     parser.add_argument("--num_worker_threads", type=int, default=4)
+    parser.add_argument("--no_cache_ram", dest="cache_ram",
+                        action="store_false", default=True,
+                        help="disable the RAM cache of preprocessed tiles "
+                        "(the cache makes epochs 2+ host-side work a single "
+                        "array stack; disable on small-memory hosts).")
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--checkpoint_interval", type=int, default=1000)
     parser.add_argument("--remat", action="store_true",
