@@ -47,6 +47,13 @@ class Trainer:
                         self.interface.check_finite(prev_metrics)
                         self._emit("batch_end", step - 1, prev_metrics)
                     prev_metrics = metrics
+                    if step % 100 == 0:
+                        # Long-haul hygiene: dropped host batch buffers can
+                        # linger in cycles / client staging pools; reclaim
+                        # periodically (large-batch runs otherwise grow RSS
+                        # by ~the upload size per step).
+                        import gc
+                        gc.collect()
                     if max_steps is not None and step >= max_steps:
                         break
                 if prev_metrics is not None:
