@@ -113,14 +113,21 @@ def main(args):
         gdir = os.path.join(args.output, "gt")
         os.makedirs(gdir, exist_ok=True)
         exr.write(os.path.join(gdir, scene + ".exr"), gt)
+        # Score on the interior: the model cannot produce its receptive-
+        # field border (re-padded with zeros for stitching), so a border of
+        # `pad` pixels is excluded from every method — the reference's
+        # evaluation protocol (sbmc/evaluation.py: 21-px border pad).
+        p = args.pad
+        gt_c = gt[p:-p, p:-p]
         row = {"scene": scene}
         for m in methods:
             mdir = os.path.join(args.output, "%dspp_%s" % (args.spp, m))
             os.makedirs(mdir, exist_ok=True)
             exr.write(os.path.join(mdir, scene + ".exr"), outs[m])
-            row[m + "_psnr"] = psnr(outs[m], gt)
-            row[m + "_relmse"] = rel_mse(outs[m], gt)
-            row[m + "_dssim"] = 1.0 - evaluation.ssim(outs[m], gt)
+            o_c = outs[m][p:-p, p:-p]
+            row[m + "_psnr"] = psnr(o_c, gt_c)
+            row[m + "_relmse"] = rel_mse(o_c, gt_c)
+            row[m + "_dssim"] = 1.0 - evaluation.ssim(o_c, gt_c)
         rows.append(row)
         log.info("  %s: " % scene + "  ".join(
             "%s %.2f dB" % (m, row[m + "_psnr"]) for m in methods))
@@ -159,5 +166,8 @@ if __name__ == "__main__":
     parser.add_argument("--spp", type=int, default=4)
     parser.add_argument("--tile_size", type=int, default=512)
     parser.add_argument("--tile_pad", type=int, default=64)
+    parser.add_argument("--pad", type=int, default=21,
+                        help="border excluded from metrics (reference "
+                        "protocol: sbmc/evaluation.py pad=21).")
     parser.add_argument("--verbose", action="store_true")
     main(parser.parse_args())
