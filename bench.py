@@ -46,8 +46,18 @@ W = int(os.environ.get("SBMC_BENCH_W", 1920))
 SPP = int(os.environ.get("SBMC_BENCH_SPP", 4))
 N_FEATURES = 93         # all sample features enabled (sbmc mode)
 N_GLOBAL = 3
-TILE_SIZE = int(os.environ.get("SBMC_BENCH_TILE", 0)) or None
-TILE_PAD = int(os.environ.get("SBMC_BENCH_PAD", 0)) or None
+def _parse_tile(v):
+    # "768" -> 768, "1216x768" -> (1216, 768)
+    if not v:
+        return None
+    if "x" in v:
+        a, b = v.split("x")
+        return (int(a), int(b))
+    return int(v) or None
+
+
+TILE_SIZE = _parse_tile(os.environ.get("SBMC_BENCH_TILE", ""))
+TILE_PAD = _parse_tile(os.environ.get("SBMC_BENCH_PAD", ""))
 ITERS = int(os.environ.get("SBMC_BENCH_ITERS", 4))
 KSIZE = int(os.environ.get("SBMC_BENCH_KSIZE", 21))
 # "sbmc" (flagship Multisteps) or "kpcn" (Bako2017 per-pixel baseline) —
@@ -84,6 +94,8 @@ def main():
                            kernel_dtype=kernel_dtype)
 
     def run(tile_size, tile_pad):
+        th, tw = tile_size if isinstance(tile_size, tuple) else (
+            tile_size, tile_size)
         # Geometry from the uniform-tile splitter (cheap dummy frame — the
         # benchmark content is random anyway, and generating tile inputs
         # *on device, inside the frame* avoids both a multi-GB host->device
@@ -98,23 +110,22 @@ def main():
         def make_tile(key):
             ks = jax.random.split(key, 5)
             if MODEL == "kpcn":
-                t = tile_size
                 return {
                     "kpcn_diffuse_in": jax.random.uniform(
-                        ks[0], (1, 27, t, t)),
+                        ks[0], (1, 27, th, tw)),
                     "kpcn_specular_in": jax.random.uniform(
-                        ks[1], (1, 27, t, t)),
+                        ks[1], (1, 27, th, tw)),
                     "kpcn_diffuse_buffer": jax.random.uniform(
-                        ks[2], (1, 3, t, t)),
+                        ks[2], (1, 3, th, tw)),
                     "kpcn_specular_buffer": jax.random.uniform(
-                        ks[3], (1, 3, t, t)),
-                    "kpcn_albedo": jax.random.uniform(ks[4], (1, 3, t, t)),
+                        ks[3], (1, 3, th, tw)),
+                    "kpcn_albedo": jax.random.uniform(ks[4], (1, 3, th, tw)),
                 }
             return {
                 "radiance": jax.random.uniform(
-                    ks[0], (1, SPP, 3, tile_size, tile_size)),
+                    ks[0], (1, SPP, 3, th, tw)),
                 "features": jax.random.uniform(
-                    ks[1], (1, SPP, N_FEATURES, tile_size, tile_size)),
+                    ks[1], (1, SPP, N_FEATURES, th, tw)),
                 "global_features": jax.random.uniform(
                     ks[2], (1, N_GLOBAL, 1, 1)),
             }
@@ -140,8 +151,7 @@ def main():
             crop = 36 if MODEL == "kpcn" else KSIZE - 1  # KPCN: 9 valid 5x5s
             (_, acc, outs), _ = jax.lax.scan(
                 body, (jnp.int32(0), jnp.float32(0),
-                       jnp.zeros((n_tiles, 3, tile_size - crop,
-                                  tile_size - crop))),
+                       jnp.zeros((n_tiles, 3, th - crop, tw - crop))),
                 None, length=k)
             return acc, outs
 
@@ -170,13 +180,28 @@ def main():
     # pyramid ~30 + splat halo 10); beyond that, smaller pads cut the
     # overlap overhead (reprocessed area = (tile/(tile-2*pad))^2: 1.44x at
     # 768/64 vs 4x at the reference's 1024/256).
-    default_ladder = [(768, 64), (512, 64), (256, 64)]
-    ladder = ([(TILE_SIZE, TILE_PAD or TILE_SIZE // 4)] + default_ladder
-              if TILE_SIZE else default_ladder)
+    # Full-height rectangular strips reprocess fewer pixels than the square
+    # grid (3 strips of 1216x768/68x64 = 2.80M px vs 6 tiles of 768^2 =
+    # 3.54M for a 2.07M-px frame). Tiles per-tile larger than ~1M px are
+    # NOT laddered by default: compiling them can crash the tunnel's remote
+    # compile helper and wedge the device for ~10 min (memory:
+    # tpu-tunnel-behavior), which would poison the fallback rungs too.
+    default_ladder = [((1216, 768), (68, 64)),
+                      (768, 64), (512, 64), (256, 64)]
+    if TILE_SIZE:
+        if isinstance(TILE_SIZE, tuple):
+            pad = TILE_PAD or (TILE_SIZE[0] // 4, TILE_SIZE[1] // 4)
+        else:
+            pad = TILE_PAD or TILE_SIZE // 4
+        ladder = [(TILE_SIZE, pad)] + default_ladder
+    else:
+        ladder = default_ladder
     for i, (tile_size, tile_pad) in enumerate(ladder):
+        if not isinstance(tile_size, tuple):
+            tile_pad = min(tile_pad, tile_size // 4)
         try:
-            dt, n_tiles = run(tile_size, min(tile_pad, tile_size // 4))
-            used_tile = (tile_size, min(tile_pad, tile_size // 4))
+            dt, n_tiles = run(tile_size, tile_pad)
+            used_tile = (tile_size, tile_pad)
             break
         except Exception as e:
             if not _is_oom(e) or i == len(ladder) - 1:

@@ -13,8 +13,16 @@ evaluation harness has runnable baselines without CUDA-era builds:
   vs the paper: single scale, fixed (non-adaptive) sampling budget.
 - :func:`cross_bilateral_denoise` — a feature-weighted cross-bilateral
   filter over the g-buffer (albedo/normal/depth), the family Sen2011 RPF
-  belongs to; the mutual-information feature weighting of RPF proper is
-  replaced by fixed feature bandwidths.
+  belongs to, with fixed feature bandwidths (a cheap variant).
+- :func:`rpf_denoise` — Random Parameter Filtering (Sen & Darabi 2012)
+  proper: per-region histogram mutual information between sample colors /
+  scene features and the sampler's random parameters (subpixel, lens,
+  time) decides per-feature bilateral bandwidths, iterated over a
+  coarse-to-fine window ladder. Simplifications vs the paper, documented
+  at the function: MI statistics are pooled over pixel cells rather than
+  per-pixel sliding blocks (one-hot joint histograms become MXU matmuls),
+  and the bilateral pass filters each sample against neighbor-pixel
+  sample means rather than all sample pairs.
 
 Learned baselines are covered natively elsewhere: KPCN (Bako2017) is a
 first-class model (sbmc_tpu/models/kpcn.py), and NFOR runs through
@@ -32,7 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["nlm_denoise", "cross_bilateral_denoise", "denoise_buffers"]
+__all__ = ["nlm_denoise", "cross_bilateral_denoise", "rpf_denoise",
+           "denoise_buffers"]
 
 
 def _box_filter(x, r):
@@ -160,6 +169,195 @@ def cross_bilateral_denoise(color, var, albedo, normal, depth, window_r=7,
     return acc / (wsum[None] + eps)
 
 
+def _cell_pool(x, cell):
+    """[q, h, w] -> per-cell values [n_cells, q, cell*cell] (h, w must be
+    multiples of ``cell``; callers pad)."""
+    q, h, w = x.shape
+    hc, wc = h // cell, w // cell
+    x = x.reshape(q, hc, cell, wc, cell).transpose(1, 3, 0, 2, 4)
+    return x.reshape(hc * wc, q, cell * cell)
+
+
+def _cell_broadcast(v, cell, h, w):
+    """[n_cells, q] per-cell scalars -> [q, h, w] (nearest upsample)."""
+    hc, wc = h // cell, w // cell
+    v = v.reshape(hc, wc, -1).transpose(2, 0, 1)
+    return jnp.repeat(jnp.repeat(v, cell, axis=-2), cell, axis=-1)
+
+
+def _pool_samples(vals, cell):
+    """[s, q, h, w] -> per-cell sample values [n_cells, q, s*cell^2]."""
+    s = vals.shape[0]
+    return jnp.concatenate(
+        [_cell_pool(vals[i], cell) for i in range(s)], -1)
+
+
+def _mi_cells(pooled, hc, wc, n_bins):
+    """Pairwise histogram mutual information per cell, with statistics
+    aggregated over each cell's 3x3 cell neighborhood.
+
+    Disjoint-cell statistics fail when an edge lies on a cell boundary
+    (each cell's interior is then statistically flat and no dependency is
+    detected); aggregating the joint-histogram *counts* over overlapping
+    3x3 neighborhoods guarantees the statistics region covers the filter
+    window, like the paper's per-pixel sliding blocks.
+
+    Args:
+      pooled: ``[n_cells, q, n]`` consistently standardized values (the
+        same value->bin mapping must hold across cells for counts to add).
+      hc, wc: cell-grid shape (``n_cells == hc * wc``).
+      n_bins: histogram quantization (values clipped to +-2 sigma).
+
+    Returns:
+      ``[n_cells, q, q]`` MI estimates (nats). The one-hot joint-histogram
+      contraction is a batched matmul — this is where RPF's statistics land
+      on the MXU instead of the scatter loops of the CPU original
+      (reference role: the RPF exe built by dockerfiles/cuda-sbmc.dockerfile).
+    """
+    q = pooled.shape[1]
+    bins = jnp.clip((pooled / 4.0 + 0.5) * n_bins, 0, n_bins - 1e-3)
+    one = jax.nn.one_hot(bins.astype(jnp.int32), n_bins)  # [nc, q, n, B]
+    joint = jnp.einsum("cqnb,crnd->cqrbd", one, one)      # counts
+    # Sum counts over the 3x3 cell neighborhood (edge-padded).
+    jg = joint.reshape(hc, wc, q, q, n_bins, n_bins)
+    jp = jnp.pad(jg, [(1, 1), (1, 1)] + [(0, 0)] * 4, mode="edge")
+    agg = sum(jp[dy:dy + hc, dx:dx + wc]
+              for dy in range(3) for dx in range(3))
+    agg = agg.reshape(hc * wc, q, q, n_bins, n_bins)
+    p = agg / agg.sum((-1, -2), keepdims=True)
+    pa = p.sum(-1, keepdims=True)
+    pb = p.sum(-2, keepdims=True)
+    eps = 1e-9
+    return (p * (jnp.log(p + eps) - jnp.log(pa * pb + eps))).sum((-1, -2))
+
+
+@functools.partial(jax.jit, static_argnames=("radii", "cell", "n_bins"))
+def rpf_denoise(colors, feats, randoms, radii=(7, 5, 3, 2), cell=8,
+                n_bins=8, sigma_c=0.45, sigma_f=0.45):
+    """Random Parameter Filtering (Sen & Darabi 2012).
+
+    Per iteration ``t`` (coarse-to-fine window radii, the paper's 55/35/17/7
+    block ladder scaled to tile inference):
+
+    1. Standardize sample colors, scene features and random parameters
+       within ``cell x cell`` pixel cells and estimate the pairwise
+       histogram mutual information of every quantity pair per cell
+       (:func:`_mi_matrix`).
+    2. Fractional color dependency on the random parameters
+       ``W^r_c = D^r_c / (D^r_c + D^p_c + D^f_c)`` gives the color
+       bandwidth scale ``alpha = max(1 - 2 (1 + 0.1 t) W^r_c, 0)``; each
+       feature's weight is ``beta_k = W^{f_k}_c * max(1 - (1 + 0.1 t)
+       W^r_{f_k}, 0)`` (paper eqs. 6-9).
+    3. Cross-bilateral filter the *samples*: each sample's color is
+       re-estimated from neighbor-pixel sample means weighted by
+       ``exp(-sum_k alpha_k dc_k^2 / 2 sig_c^2 - sum_k beta_k df_k^2 /
+       2 sig_f^2)`` on the standardized values.
+
+    Documented simplifications vs the paper: statistics use overlapping
+    3x3-cell neighborhoods around each pixel cell (joint-histogram counts
+    aggregated across cells) instead of per-pixel sliding blocks;
+    quantities are standardized frame-globally (per within-cell offset for
+    position) rather than per block; the bilateral pass compares each
+    sample to neighbor *pixel means* (not every sample pair); fixed sigma
+    on standardized values replaces the paper's variance-derived
+    bandwidths.
+
+    Args:
+      colors: ``[s, 3, h, w]`` per-sample radiance.
+      feats: ``[s, f, h, w]`` scene features (albedo/normal/depth...).
+      randoms: ``[s, r, h, w]`` random parameters (subpixel/lens/time).
+
+    Returns:
+      ``[3, h, w]`` denoised radiance.
+    """
+    s, _, h, w = colors.shape
+    pad_h, pad_w = (-h) % cell, (-w) % cell
+    if pad_h or pad_w:
+        grow = lambda x: jnp.pad(  # noqa: E731
+            x, [(0, 0), (0, 0), (0, pad_h), (0, pad_w)], mode="edge")
+        out = rpf_denoise(grow(colors), grow(feats), grow(randoms),
+                          radii=radii, cell=cell, n_bins=n_bins,
+                          sigma_c=sigma_c, sigma_f=sigma_f)
+        return out[..., :h, :w]
+
+    hc, wc = h // cell, w // cell
+
+    def global_std(v):
+        # Frame-global standardization: one consistent value->bin mapping
+        # for every cell (required for 3x3 count aggregation) and
+        # cross-cell-comparable filter distances.
+        mu = v.mean((0, 2, 3), keepdims=True)
+        sd = v.std((0, 2, 3), keepdims=True) + 1e-6
+        return (v - mu) / sd
+
+    # position quantities (the paper's p): within-cell pixel offsets — the
+    # same distribution in every cell, so the standardized mapping is
+    # consistent across cells and counts aggregate coherently.
+    p_sd = float(((cell * cell - 1) / 12.0) ** 0.5) + 1e-6
+    loc = (jnp.arange(h, dtype=colors.dtype) % cell - (cell - 1) / 2) / p_sd
+    locx = (jnp.arange(w, dtype=colors.dtype) % cell - (cell - 1) / 2) / p_sd
+    pos = jnp.broadcast_to(
+        jnp.stack(jnp.meshgrid(loc, locx, indexing="ij"))[None],
+        (s, 2, h, w))
+
+    f_std = global_std(feats)
+    f_pool = _pool_samples(f_std, cell)
+    r_pool = _pool_samples(global_std(randoms), cell)
+    p_pool = _pool_samples(pos, cell)
+
+    nf, nr = feats.shape[1], randoms.shape[1]
+    for t, radius in enumerate(radii):
+        c_std = global_std(colors)
+        c_pool = _pool_samples(c_std, cell)
+        mi = _mi_cells(jnp.concatenate([c_pool, f_pool, r_pool, p_pool], 1),
+                       hc, wc, n_bins)
+        sl_c = slice(0, 3)
+        sl_f = slice(3, 3 + nf)
+        sl_r = slice(3 + nf, 3 + nf + nr)
+        sl_p = slice(3 + nf + nr, 3 + nf + nr + 2)
+        d_rc = mi[:, sl_c, sl_r].sum(-1)                  # [nc, 3]
+        d_pc = mi[:, sl_c, sl_p].sum(-1)
+        d_fc = mi[:, sl_c, sl_f].sum(-1)
+        w_rc = d_rc / (d_rc + d_pc + d_fc + 1e-9)
+        alpha = jnp.maximum(1.0 - 2.0 * (1 + 0.1 * t) * w_rc, 0.0)
+        d_rf = mi[:, sl_f, sl_r].sum(-1)                  # [nc, nf]
+        d_pf = mi[:, sl_f, sl_p].sum(-1)
+        d_cf = mi[:, sl_f, sl_c].sum(-1)
+        w_rf = d_rf / (d_rf + d_pf + d_cf + 1e-9)
+        w_fc = d_cf / (d_cf.sum(-1, keepdims=True) + 1e-9)
+        beta = w_fc * jnp.maximum(1.0 - (1 + 0.1 * t) * w_rf, 0.0)
+        alpha_f = _cell_broadcast(alpha, cell, h, w)      # [3, h, w]
+        beta_f = _cell_broadcast(beta, cell, h, w)        # [nf, h, w]
+
+        c_mean = c_std.mean(0)                            # [3, h, w]
+        f_mean = f_std.mean(0)
+        raw_mean = colors.mean(0)
+        inv2c = 1.0 / (2.0 * sigma_c ** 2)
+        inv2f = 1.0 / (2.0 * sigma_f ** 2)
+
+        def offset(carry, i, radius=radius, alpha_f=alpha_f, beta_f=beta_f,
+                   c_std=c_std, c_mean=c_mean, f_mean=f_mean,
+                   raw_mean=raw_mean):
+            acc, wsum = carry
+            win = 2 * radius + 1
+            dy, dx = i // win, i % win
+            cq = _shifted(c_mean, dy, dx, radius)         # [3, h, w]
+            fq = _shifted(f_mean, dy, dx, radius)
+            dc = (alpha_f[None] * (c_std - cq[None]) ** 2).sum(1) * inv2c
+            df = (beta_f * (f_mean - fq) ** 2).sum(0) * inv2f
+            wgt = jnp.exp(-dc - df[None])                 # [s, h, w]
+            raw_q = _shifted(raw_mean, dy, dx, radius)
+            return (acc + wgt[:, None] * raw_q[None],
+                    wsum + wgt), None
+
+        win = 2 * radius + 1
+        (acc, wsum), _ = lax.scan(
+            offset, (jnp.zeros_like(colors), jnp.zeros((s, h, w))),
+            jnp.arange(win * win))
+        colors = acc / (wsum[:, None] + 1e-9)
+    return colors.mean(0)
+
+
 def denoise_buffers(features, labels, method="nlm", **kw):
     """Run a baseline on raw sample records (RAW_MODE feature stacks).
 
@@ -190,6 +388,23 @@ def denoise_buffers(features, labels, method="nlm", **kw):
     if method == "nlm":
         out = nlm_denoise(jnp.asarray(buf_a), jnp.asarray(buf_b),
                           jnp.asarray(var), **kw)
+    elif method == "rpf":
+        feats = np.concatenate([
+            planes("albedo_first_r"),
+            features[:, labels.index("normal_first_x"):
+                     labels.index("normal_first_x") + 3],
+            planes("depth_first", 1)], 1)
+        rand_names = [n for n in ("dx", "dy", "lens_u", "lens_v", "t")
+                      if n in labels]
+        if rand_names:
+            randoms = np.stack([features[:, labels.index(n)]
+                                for n in rand_names], 1)
+        else:
+            # Coordinate features absent (load_coords=False): fall back to
+            # the per-sample radiance deviation as the randomness proxy.
+            randoms = color - color.mean(0, keepdims=True)
+        out = rpf_denoise(jnp.asarray(color), jnp.asarray(feats),
+                          jnp.asarray(randoms), **kw)
     elif method == "cbf":
         albedo = planes("albedo_first_r").mean(0)
         normal = features[:, labels.index("normal_first_x"):

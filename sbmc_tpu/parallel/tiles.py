@@ -94,6 +94,14 @@ def merge_tiles(canvas, tile_outputs):
     return canvas
 
 
+def _pair(v):
+    """Normalize an int-or-(y, x) argument to a (y, x) tuple."""
+    if isinstance(v, (tuple, list)):
+        ty, tx = v
+        return int(ty), int(tx)
+    return int(v), int(v)
+
+
 def split_tiles_uniform(batch, tile=512, pad=128):
     """Split into *uniform-size* overlapping tiles stacked on the batch axis.
 
@@ -105,8 +113,11 @@ def split_tiles_uniform(batch, tile=512, pad=128):
 
     Args:
       batch: dict of image-like arrays with batch dim 1.
-      tile: tile extent (must exceed ``2 * pad``).
-      pad: overlap absorbed on interior edges.
+      tile: tile extent (must exceed ``2 * pad``); an int for square tiles
+        or a ``(th, tw)`` pair for rectangular tiles (e.g. one full-height
+        1080p strip — rectangular tiles cut the overlap overhead from
+        ~1.7x at 768x768/64 to ~1.2x for a single padded full-frame tile).
+      pad: overlap absorbed on interior edges; int or ``(py, px)``.
 
     Returns:
       ``(stacked, info)`` where ``stacked`` maps keys to arrays with leading
@@ -115,13 +126,15 @@ def split_tiles_uniform(batch, tile=512, pad=128):
     """
     ref_key = "features" if "features" in batch else "kpcn_diffuse_in"
     h, w = batch[ref_key].shape[-2:]
-    step = tile - 2 * pad
-    if step <= 0:
+    th, tw = _pair(tile)
+    py, px = _pair(pad)
+    step_y, step_x = th - 2 * py, tw - 2 * px
+    if step_y <= 0 or step_x <= 0:
         raise ValueError("tile must exceed 2 * pad")
-    ny = max(1, -(-(h - 2 * pad) // step))
-    nx = max(1, -(-(w - 2 * pad) // step))
-    ph = 2 * pad + ny * step
-    pw = 2 * pad + nx * step
+    ny = max(1, -(-(h - 2 * py) // step_y))
+    nx = max(1, -(-(w - 2 * px) // step_x))
+    ph = 2 * py + ny * step_y
+    pw = 2 * px + nx * step_x
 
     stacked = {}
     for k in _UNCHANGED_KEYS:
@@ -138,11 +151,11 @@ def split_tiles_uniform(batch, tile=512, pad=128):
         tiles = []
         for iy in range(ny):
             for ix in range(nx):
-                y0, x0 = iy * step, ix * step
-                tiles.append(vp[0, ..., y0:y0 + tile, x0:x0 + tile])
+                y0, x0 = iy * step_y, ix * step_x
+                tiles.append(vp[0, ..., y0:y0 + th, x0:x0 + tw])
         stacked[k] = np.stack(tiles)
-    info = {"ny": ny, "nx": nx, "tile": tile, "pad": pad, "step": step,
-            "h": h, "w": w}
+    info = {"ny": ny, "nx": nx, "tile": (th, tw), "pad": (py, px),
+            "step": (step_y, step_x), "h": h, "w": w}
     return stacked, info
 
 
@@ -160,16 +173,18 @@ def merge_tiles_uniform(outputs, info, out_hw=None):
       ``[1, ..., h, w]`` numpy array.
     """
     outputs = np.asarray(outputs)
-    ny, nx, tile, pad, step = (info["ny"], info["nx"], info["tile"],
-                               info["pad"], info["step"])
+    ny, nx = info["ny"], info["nx"]
+    th, tw = _pair(info["tile"])
+    py, px = _pair(info["pad"])
+    step_y, step_x = _pair(info["step"])
     h, w = out_hw or (info["h"], info["w"])
-    crop = (tile - outputs.shape[-1]) // 2  # model's border crop
+    # model's border crop (symmetric per side, same on both axes)
+    crop = (tw - outputs.shape[-1]) // 2
     canvas = np.zeros(outputs.shape[1:-2] + (h, w), outputs.dtype)
-    inner = pad - crop  # margin to strip from each tile output
-    if inner < 0:
+    if py - crop < 0 or px - crop < 0:
         raise ValueError(
-            "tile pad (%d) is smaller than the model crop (%d)" %
-            (pad, crop))
+            "tile pad (%d, %d) is smaller than the model crop (%d)" %
+            (py, px, crop))
     for i in range(ny * nx):
         iy, ix = divmod(i, nx)
         o = outputs[i]
@@ -178,14 +193,14 @@ def merge_tiles_uniform(outputs, info, out_hw=None):
         # border at the edges (minus the model's crop, which nothing can
         # produce — the frame keeps a zero `crop` border, exactly like the
         # reference's cropped full-frame output).
-        y_lo = crop if iy == 0 else pad
-        y_hi = tile - crop if iy == ny - 1 else pad + step
-        x_lo = crop if ix == 0 else pad
-        x_hi = tile - crop if ix == nx - 1 else pad + step
+        y_lo = crop if iy == 0 else py
+        y_hi = th - crop if iy == ny - 1 else py + step_y
+        x_lo = crop if ix == 0 else px
+        x_hi = tw - crop if ix == nx - 1 else px + step_x
         # map into output coords (padded frame == output frame up to h, w)
-        fy0, fx0 = iy * step + y_lo, ix * step + x_lo
-        fy1 = min(iy * step + y_hi, h)
-        fx1 = min(ix * step + x_hi, w)
+        fy0, fx0 = iy * step_y + y_lo, ix * step_x + x_lo
+        fy1 = min(iy * step_y + y_hi, h)
+        fx1 = min(ix * step_x + x_hi, w)
         if fy1 <= fy0 or fx1 <= fx0:
             continue
         oy0, ox0 = y_lo - crop, x_lo - crop

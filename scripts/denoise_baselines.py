@@ -60,7 +60,7 @@ if __name__ == "__main__":
                         help="folder containing the sample .bin files.")
     parser.add_argument("--output", type=str, required=True,
                         help="output .exr destination.")
-    parser.add_argument("--method", choices=["nlm", "cbf"], default="nlm")
+    parser.add_argument("--method", choices=["nlm", "cbf", "rpf"], default="nlm")
     parser.add_argument("--spp", type=int, default=None,
                         help="number of samples to use as input.")
     parser.add_argument("--verbose", action="store_true")

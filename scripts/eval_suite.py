@@ -67,7 +67,7 @@ def main(args):
 
     params = None
     rows = []
-    methods = ["input", "ours", "nlm", "cbf"]
+    methods = ["input", "ours", "nlm", "cbf", "rpf"]
     for scene_id in range(len(model_data)):
         item = model_data[scene_id]
         raw = raw_data[scene_id]
@@ -105,7 +105,7 @@ def main(args):
         outs["ours"] = canvas[0].transpose(1, 2, 0)
 
         # --- classical baselines ------------------------------------------
-        for m in ("nlm", "cbf"):
+        for m in ("nlm", "cbf", "rpf"):
             outs[m] = denoise_buffers(raw["features"], raw_data.labels,
                                       method=m).transpose(1, 2, 0)
 

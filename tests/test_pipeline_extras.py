@@ -3,6 +3,7 @@ and the synthetic sample renderer."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -262,6 +263,38 @@ class TestUniformTiles:
         # the unproducible border stays zero
         assert np.abs(merged[..., :crop, :]).max() == 0
 
+    def test_rectangular_tiles_match_square(self, rng):
+        """Rectangular (th, tw)/(py, px) tiling merges to the same frame as
+        square tiling for a linear local model, including a single
+        padded full-frame tile (the bench.py 1080p fast path)."""
+        from sbmc_tpu.parallel.tiles import (merge_tiles_uniform,
+                                             split_tiles_uniform)
+
+        def model(x):  # [.., c, h, w] -> box blur, crop 1
+            return sum(x[..., 1 + dy:x.shape[-2] - 1 + dy,
+                         1 + dx:x.shape[-1] - 1 + dx]
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)) / 9.0
+
+        h, w = 54, 88
+        img = rng.rand(1, 3, h, w).astype(np.float32)
+        batch = {"features": img}
+
+        def denoise(tile, pad):
+            stacked, info = split_tiles_uniform(batch, tile=tile, pad=pad)
+            outs = np.stack([model(t) for t in stacked["features"]])
+            return merge_tiles_uniform(outs, info), info
+
+        ref, _ = denoise(40, 8)
+        rect, info_r = denoise((40, 56), (8, 4))
+        assert info_r["ny"] > 1 and info_r["nx"] > 1
+        full, info_f = denoise((h + 2 * 4, w + 2 * 4), (4, 4))
+        assert info_f["ny"] == info_f["nx"] == 1
+        c = 8
+        assert np.allclose(rect[..., c:-c, c:-c], ref[..., c:-c, c:-c],
+                           atol=1e-6)
+        assert np.allclose(full[..., c:-c, c:-c], ref[..., c:-c, c:-c],
+                           atol=1e-6)
+
     def test_matches_ragged_tiling_interior(self, rng):
         """Uniform and reference-style ragged tiling agree on the interior
         for a linear local model (3x3 box blur with crop)."""
@@ -397,6 +430,31 @@ class TestComparisonBaselines:
         right = out[0, :, w // 2 + 2:].mean()
         assert right - left > 0.8 * 0.6
 
+    def test_rpf_removes_random_parameter_noise(self, rng):
+        """RPF must detect that the noise is driven by the sampler's random
+        parameters (high MI) and remove it, while a geometry edge encoded
+        in the scene features survives — the paper's core claim."""
+        from sbmc_tpu.comparisons import rpf_denoise
+        s, h, w = 4, 24, 32
+        gt = np.zeros((3, h, w), np.float32)
+        gt[:, :, w // 2:] = 1.0
+        randoms = rng.rand(s, 3, h, w).astype(np.float32)
+        colors = gt[None] + 0.6 * (randoms[:, :1] - 0.5)
+        feats = np.concatenate(
+            [np.broadcast_to(gt[None], (s, 3, h, w)),
+             np.broadcast_to((gt[:1] * 0.5)[None], (s, 1, h, w))], 1)
+        out = np.asarray(rpf_denoise(
+            jnp.asarray(colors), jnp.asarray(feats), jnp.asarray(randoms),
+            radii=(3, 2)))
+        assert np.isfinite(out).all()
+        in_mse = ((colors.mean(0) - gt) ** 2).mean()
+        out_mse = ((out - gt) ** 2).mean()
+        assert out_mse < 0.2 * in_mse
+        # edge contrast preserved
+        left = out[:, :, : w // 2 - 2].mean()
+        right = out[:, :, w // 2 + 2:].mean()
+        assert right - left > 0.8
+
     def test_denoise_buffers_from_samples(self, rng, tmp_path):
         """End-to-end on real .bin records through the RAW_MODE stack."""
         from sbmc_tpu.comparisons import denoise_buffers
@@ -407,8 +465,9 @@ class TestComparisonBaselines:
             gt_spp=2, seed=5)
         d = TilesDataset(str(tmp_path), mode=TilesDataset.RAW_MODE, spp=4)
         item = d[0]
-        for method in ("nlm", "cbf"):
+        for method, kw in (("nlm", {"window_r": 3}), ("cbf", {"window_r": 3}),
+                           ("rpf", {"radii": (2, 1)})):
             out = denoise_buffers(item["features"], d.labels, method=method,
-                                  window_r=3)
+                                  **kw)
             assert out.shape == (3, 16, 16)
             assert np.isfinite(out).all()
