@@ -24,8 +24,9 @@ evaluation harness has runnable baselines without CUDA-era builds:
   and the bilateral pass filters each sample against neighbor-pixel
   sample means rather than all sample pairs.
 
-Learned baselines are covered natively elsewhere: KPCN (Bako2017) is a
-first-class model (sbmc_tpu/models/kpcn.py), and NFOR runs through
+Learned baselines are covered natively elsewhere: KPCN (Bako2017) and
+LBF (Kalantari2015) are first-class trainable models
+(sbmc_tpu/models/kpcn.py, sbmc_tpu/models/lbf.py), and NFOR runs through
 ``scripts/denoise_nfor.py`` against Tungsten's external ``denoiser``.
 Outputs drop into the same ``<spp>spp_<method>`` folders that
 ``scripts/compute_metrics.py`` consumes.

@@ -22,7 +22,7 @@ honor_env_platform()
 def main(args):
     import jax
     from sbmc_tpu.data import (Loader, MultiSampleCountDataset, TilesDataset)
-    from sbmc_tpu.models import KPCN, Multisteps
+    from sbmc_tpu.models import KPCN, LBF, Multisteps
     from sbmc_tpu.models.build import model_meta
     from sbmc_tpu.parallel.mesh import make_mesh  # noqa: F401
     from sbmc_tpu.train import (Checkpointer, DenoiserInterface, Trainer,
@@ -80,12 +80,22 @@ def main(args):
     if args.val_data:
         val_data = TilesDataset(args.val_data, **data_args)
 
+    if args.kpcn_mode and args.lbf_mode:
+        raise SystemExit("--kpcn_mode and --lbf_mode are mutually exclusive")
     if args.kpcn_mode:
         log.info("Model: KPCN (gather baseline, [Bako2017])")
         model_params = dict(n_in=data.num_features, ksize=args.ksize,
                             depth=args.kpcn_depth, width=args.kpcn_width,
                             conv_dtype="bfloat16" if args.bf16 else None)
         model = KPCN(**model_params)
+    elif args.lbf_mode:
+        log.info("Model: LBF (learned bilateral filter, [Kalantari2015])")
+        model_params = dict(
+            n_features=data.num_features,
+            n_global_features=data.num_global_features,
+            window_r=args.lbf_window_r,
+            conv_dtype="bfloat16" if args.bf16 else None)
+        model = LBF(**model_params)
     else:
         log.info("Model: Multisteps (SBMC), splat=%s", not args.gather)
         model_params = dict(
@@ -103,7 +113,8 @@ def main(args):
 
     interface = DenoiserInterface(model, lr=args.lr, mesh=mesh)
 
-    meta = model_meta(args.kpcn_mode, model_params, data_args)
+    arch = "kpcn" if args.kpcn_mode else ("lbf" if args.lbf_mode else "sbmc")
+    meta = model_meta(args.kpcn_mode, model_params, data_args, arch=arch)
     checkpointer = Checkpointer(args.checkpoint_dir, meta=meta)
 
     loader = Loader(data, batch_size=args.bs, shuffle=True, pad_spp=pad_spp,
@@ -152,6 +163,11 @@ if __name__ == "__main__":
                         help="max samples per pixel")
     parser.add_argument("--ksize", type=int, default=21,
                         help="kernel size for the predicted kernels")
+    parser.add_argument("--lbf_mode", action="store_true",
+                        help="train the LBF learned-bilateral-filter "
+                        "baseline [Kalantari2015] instead of SBMC")
+    parser.add_argument("--lbf_window_r", type=int, default=8,
+                        help="LBF filter window radius")
     parser.add_argument("--kpcn_mode", action="store_true",
                         help="train the [Bako2017] KPCN baseline")
     parser.add_argument("--kpcn_depth", type=int, default=9,

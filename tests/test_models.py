@@ -156,3 +156,68 @@ class TestKPCN:
         g = jax.grad(loss)(params)
         assert all(np.isfinite(np.array(x)).all()
                    for x in jax.tree.leaves(g))
+
+
+class TestLBF:
+    """LBF learned-bilateral baseline (models/lbf.py, [Kalantari2015])."""
+
+    def _model(self, **kw):
+        from sbmc_tpu.models import LBF
+        args = dict(n_features=8, n_global_features=3, window_r=3,
+                    width=8, n_guides=4)
+        args.update(kw)
+        return LBF(**args)
+
+    def test_output_shape_and_crop(self, rng):
+        m = self._model()
+        b = _batch(rng)
+        params = m.init(jax.random.PRNGKey(0), b)
+        out = m.apply(params, b)
+        assert out["radiance"].shape == (1, 3, 32 - 6, 32 - 6)
+        assert np.isfinite(np.array(out["radiance"])).all()
+
+    def test_too_small_input_raises(self, rng):
+        m = self._model(window_r=8)
+        b = _batch(rng, h=12, w=12)
+        with pytest.raises(ValueError):
+            m.init(jax.random.PRNGKey(0), b)
+
+    def test_masked_spp_matches_exact(self, rng):
+        """Masked padded samples must not change the statistics or output."""
+        m = self._model()
+        b = _batch(rng, spp=4)
+        params = m.init(jax.random.PRNGKey(0), b)
+        b3 = {k: (v[:, :3] if v.ndim == 5 else v) for k, v in b.items()}
+        out3 = m.apply(params, b3)
+        bp = dict(b)
+        bp["sample_mask"] = jnp.array([[True, True, True, False]])
+        outp = m.apply(params, bp)
+        assert np.allclose(np.array(out3["radiance"]),
+                           np.array(outp["radiance"]), atol=1e-5)
+
+    def test_constant_radiance_is_preserved(self, rng):
+        """The filter is a convex combination of neighbor means: a constant
+        radiance field must pass through unchanged."""
+        m = self._model()
+        b = _batch(rng)
+        b["radiance"] = jnp.full_like(b["radiance"], 0.375)
+        params = m.init(jax.random.PRNGKey(0), b)
+        out = m.apply(params, b)
+        assert np.allclose(np.array(out["radiance"]), 0.375, atol=1e-5)
+
+    def test_gradients_flow(self, rng):
+        m = self._model()
+        b = _batch(rng, h=16, w=16)
+        params = m.init(jax.random.PRNGKey(0), b)
+
+        def loss(p):
+            return jnp.mean(m.apply(p, b)["radiance"] ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.array(x)).all() for x in leaves)
+        # the parameter net must receive gradient through the filter
+        flat = jax.tree_util.tree_flatten_with_path(g)[0]
+        pn = [np.abs(np.array(v)).sum() for k, v in flat
+              if "param_net" in jax.tree_util.keystr(k)]
+        assert pn and sum(pn) > 0
