@@ -81,8 +81,11 @@ class TracerScene:
     """Flat-array scene for the wavefront tracer.
 
     Primitive arrays (``albedos``, ``roughness``, ``motion``, ``mat_type``,
-    ``tex_scale``) cover spheres first, then boxes: length
-    ``n_spheres + n_boxes``.
+    ``tex_scale``) cover spheres first, then boxes, then capped y-axis
+    cylinders: length ``n_spheres + n_boxes + n_cylinders`` (the reference
+    scene generator's Sphere/Cylinder/Plane primitive set,
+    sbmc/scene_generator/geometry.py:26-188; arbitrary OBJ meshes remain the
+    external-PBRT path's job).
     """
     centers: np.ndarray      # [s, 3] sphere centers
     radii: np.ndarray        # [s]
@@ -108,6 +111,12 @@ class TracerScene:
         default_factory=lambda: np.zeros((0, 3)))
     box_half: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 3)))
+    cyl_centers: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    cyl_radius: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,)))
+    cyl_half: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,)))
     sky_zenith: Optional[np.ndarray] = None  # defaults to ``sky`` (constant)
     sun_dir: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.0, 1.0, 0.0]))
@@ -117,7 +126,8 @@ class TracerScene:
     glass_ior: float = 1.5
 
     def _n_prims(self):
-        return self.centers.shape[0] + self.box_centers.shape[0]
+        return (self.centers.shape[0] + self.box_centers.shape[0]
+                + self.cyl_centers.shape[0])
 
     def as_jax(self):
         p = self._n_prims()
@@ -150,6 +160,12 @@ class TracerScene:
                                        jnp.float32).reshape(-1, 3),
             "box_half": jnp.asarray(self.box_half,
                                     jnp.float32).reshape(-1, 3),
+            "cyl_centers": jnp.asarray(self.cyl_centers,
+                                       jnp.float32).reshape(-1, 3),
+            "cyl_radius": jnp.asarray(self.cyl_radius,
+                                      jnp.float32).reshape(-1),
+            "cyl_half": jnp.asarray(self.cyl_half,
+                                    jnp.float32).reshape(-1),
             "albedos": jnp.asarray(fit(self.albedos, (p, 3), 0.5)),
             "roughness": jnp.asarray(fit(self.roughness, (p,), 1.0)),
             "motion": jnp.asarray(fit(self.motion, (p, 3))),
@@ -173,12 +189,12 @@ class TracerScene:
         }
 
 
-def random_tracer_scene(rng, n_spheres=6, n_boxes=3):
+def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2):
     """Sample a random scene with the reference's material-mixture spirit
     (sbmc/scene_generator/randomizers.py:194-227: 5% mirror, 5% glass,
     10% metal, 20% plastic, 10% substrate, 30% uber, 20% diffuse — the
     pbrt-only classes collapse onto our five scattering models)."""
-    p = n_spheres + n_boxes
+    p = n_spheres + n_boxes + n_cyls
     mat = rng.choice(
         [MAT_DIFFUSE, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_PLASTIC],
         size=p, p=[0.50, 0.05, 0.05, 0.10, 0.30])
@@ -198,6 +214,11 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3):
     box_centers = np.stack([rng.uniform(-3.5, 3.5, n_boxes),
                             box_half[:, 1] * (1 + 1.5 * rng.rand(n_boxes)),
                             rng.uniform(3.0, 9.0, n_boxes)], 1)
+    cyl_radius = rng.uniform(0.2, 0.7, n_cyls)
+    cyl_half = rng.uniform(0.3, 1.3, n_cyls)
+    cyl_centers = np.stack([rng.uniform(-3.5, 3.5, n_cyls),
+                            cyl_half * (1 + 1.5 * rng.rand(n_cyls)),
+                            rng.uniform(3.0, 9.0, n_cyls)], 1)
 
     # Scene radius: the reference PBRT computes it from the world bound;
     # use the camera-to-farthest-surface distance (plus light) here.
@@ -209,6 +230,8 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3):
         float(np.max(np.linalg.norm(centers - cam, axis=1) + radii)),
         float(np.max(np.linalg.norm(box_centers - cam, axis=1)
                      + np.linalg.norm(box_half, axis=1))),
+        float(np.max(np.linalg.norm(cyl_centers - cam, axis=1)
+                     + np.hypot(cyl_radius, cyl_half))) if n_cyls else 0.0,
         float(np.linalg.norm(light_pos - cam)))
 
     return TracerScene(
@@ -224,6 +247,9 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3):
         tex_scale=np.where(rng.rand(p) < 0.4, rng.uniform(0.5, 3.0, p), 0.0),
         box_centers=box_centers,
         box_half=box_half,
+        cyl_centers=cyl_centers,
+        cyl_radius=cyl_radius,
+        cyl_half=cyl_half,
         ground_albedo=rng.uniform(0.2, 0.8, 3),
         light_pos=light_pos,
         light_radius=float(rng.uniform(0.2, 0.8)),
@@ -288,11 +314,57 @@ def _box_ts(scn, org, dirs, t):
     return ts, inside, cb
 
 
+def _cyl_ts(scn, org, dirs, t):
+    """Capped y-axis cylinder hit distances [N, C] and inside flags.
+
+    Side hits solve the (x, z) quadratic clipped to ``|y - cy| <= half``;
+    cap hits intersect the y = cy +- half discs. Nearest valid wins
+    (reference primitive: sbmc/scene_generator/geometry.py Cylinder)."""
+    ns = scn["radii"].shape[0]
+    nb = scn["box_centers"].shape[0]
+    nc = scn["cyl_radius"].shape[0]
+    cc = (scn["cyl_centers"][None]
+          + t[:, None, None] * scn["motion"][None, ns + nb:ns + nb + nc])
+    o = org[:, None, :] - cc                       # [N, C, 3]
+    dx, dy, dz = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]  # [N, 1]
+    a = dx * dx + dz * dz                          # [N, 1]
+    b = o[..., 0] * dx + o[..., 2] * dz            # [N, C]
+    r2 = scn["cyl_radius"][None] ** 2
+    c_ = o[..., 0] ** 2 + o[..., 2] ** 2 - r2
+    disc = b * b - a * c_
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sa = jnp.maximum(a, 1e-12)
+    half = scn["cyl_half"][None]
+
+    def side_ok(ts):
+        y = o[..., 1] + ts * dy
+        return (disc > 0) & (ts > 1e-3) & (jnp.abs(y) <= half)
+
+    def cap_ok(ts):
+        x = o[..., 0] + ts * dx
+        z = o[..., 2] + ts * dz
+        return (ts > 1e-3) & (x * x + z * z <= r2)
+
+    t1, t2 = (-b - root) / sa, (-b + root) / sa
+    inv_dy = jnp.where(jnp.abs(dy) > 1e-9, 1.0 / dy,
+                       jnp.where(dy >= 0, 1e12, -1e12))
+    tc1 = (half - o[..., 1]) * inv_dy
+    tc2 = (-half - o[..., 1]) * inv_dy
+    cand = jnp.stack([jnp.where(side_ok(t1), t1, _INF),
+                      jnp.where(side_ok(t2), t2, _INF),
+                      jnp.where(cap_ok(tc1), tc1, _INF),
+                      jnp.where(cap_ok(tc2), tc2, _INF)], 0)
+    ts = jnp.min(cand, 0)
+    inside = (c_ < 0) & (jnp.abs(o[..., 1]) < half) & (ts < _INF)
+    return ts, inside, cc
+
+
 def _intersect(scn, org, dirs, t):
     """Nearest-hit for ray bundles [N, 3]. Returns hit dict."""
     t_max = scn["scene_radius"] * MAX_RAY_FACTOR
     ns = scn["radii"].shape[0]
     nb = scn["box_centers"].shape[0]
+    nc = scn["cyl_radius"].shape[0]
 
     # Ground plane y = 0 (treated as environment beyond t_max).
     dy = dirs[:, 1]
@@ -300,12 +372,17 @@ def _intersect(scn, org, dirs, t):
     tg = jnp.where((tg > 1e-3) & (tg < t_max), tg, _INF)
 
     ts_s, in_s, c_s = _sphere_ts(scn, org, dirs, t)
+    ts_all, inside_all = [ts_s], [in_s]
     if nb > 0:
         ts_b, in_b, c_b = _box_ts(scn, org, dirs, t)
-        ts_all = jnp.concatenate([ts_s, ts_b], 1)       # [N, S+B]
-        inside_all = jnp.concatenate([in_s, in_b], 1)
-    else:
-        ts_all, inside_all = ts_s, in_s
+        ts_all.append(ts_b)
+        inside_all.append(in_b)
+    if nc > 0:
+        ts_c, in_c, c_c = _cyl_ts(scn, org, dirs, t)
+        ts_all.append(ts_c)
+        inside_all.append(in_c)
+    ts_all = jnp.concatenate(ts_all, 1)             # [N, S+B+C]
+    inside_all = jnp.concatenate(inside_all, 1)
 
     p_idx = jnp.argmin(ts_all, axis=1)                  # [N]
     p_t = jnp.take_along_axis(ts_all, p_idx[:, None], 1)[:, 0]
@@ -324,6 +401,7 @@ def _intersect(scn, org, dirs, t):
     sc = jnp.take_along_axis(c_s, s_idx[:, None, None].repeat(3, -1),
                              1)[:, 0]
     n_sphere = (p - sc) / jnp.maximum(scn["radii"][s_idx][:, None], 1e-8)
+    n_prim = n_sphere
     if nb > 0:
         # Box outward normal: dominant axis of the local coordinates.
         b_idx = jnp.clip(p_idx - ns, 0, nb - 1)
@@ -333,9 +411,25 @@ def _intersect(scn, org, dirs, t):
         ax = jnp.argmax(jnp.abs(q), axis=-1)
         n_box = (jax.nn.one_hot(ax, 3, dtype=q.dtype)
                  * jnp.sign(jnp.take_along_axis(q, ax[:, None], 1)))
-        n_prim = jnp.where((p_idx < ns)[:, None], n_sphere, n_box)
-    else:
-        n_prim = n_sphere
+        n_prim = jnp.where((p_idx < ns)[:, None], n_prim, n_box)
+    if nc > 0:
+        # Cylinder outward normal: cap (+-y) vs side (radial), picked by
+        # which normalized local coordinate sits on its surface (~1).
+        cy_idx = jnp.clip(p_idx - ns - nb, 0, nc - 1)
+        cyc = jnp.take_along_axis(c_c, cy_idx[:, None, None].repeat(3, -1),
+                                  1)[:, 0]
+        q = p - cyc
+        half = jnp.maximum(scn["cyl_half"][cy_idx], 1e-8)
+        rad = jnp.maximum(scn["cyl_radius"][cy_idx], 1e-8)
+        u = jnp.abs(q[:, 1]) / half
+        rxz = jnp.sqrt(q[:, 0] ** 2 + q[:, 2] ** 2)
+        v = rxz / rad
+        side = jnp.stack([q[:, 0], jnp.zeros_like(q[:, 0]), q[:, 2]],
+                         -1) / jnp.maximum(rxz, 1e-8)[:, None]
+        cap = jnp.stack([jnp.zeros_like(q[:, 1]), jnp.sign(q[:, 1]),
+                         jnp.zeros_like(q[:, 1])], -1)
+        n_cyl = jnp.where((u > v)[:, None], cap, side)
+        n_prim = jnp.where((p_idx < ns + nb)[:, None], n_prim, n_cyl)
     n_geo = jnp.where(hit_prim[:, None], n_prim,
                       jnp.array([0.0, 1.0, 0.0])[None])
     # Shading normal faces the incoming ray.
@@ -372,6 +466,9 @@ def _occluded(scn, org, dirs, dist):
     if scn["box_centers"].shape[0] > 0:
         ts_b, _, _ = _box_ts(scn, org, dirs, zeros)
         ok = jnp.concatenate([ok, ts_b < dist[:, None] - 1e-3], 1)
+    if scn["cyl_radius"].shape[0] > 0:
+        ts_c, _, _ = _cyl_ts(scn, org, dirs, zeros)
+        ok = jnp.concatenate([ok, ts_c < dist[:, None] - 1e-3], 1)
     return jnp.any(ok, axis=1)
 
 

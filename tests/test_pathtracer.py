@@ -221,3 +221,67 @@ class TestExtendedPhysics:
         for arr in [tile.features, tile.pixel_data, tile.p, tile.ld]:
             assert np.isfinite(arr).all()
         assert (tile.features[:, 5:11] >= 0).all()
+
+
+class TestCylinders:
+    """Capped y-axis cylinder primitive (reference:
+    sbmc/scene_generator/geometry.py Cylinder)."""
+
+    def _cyl_scene(self):
+        scene = _simple_scene()
+        scene.centers = np.array([[100.0, 1.0, 5.0]])  # sphere out of view
+        scene.cyl_centers = np.array([[0.0, 1.0, 5.0]])
+        scene.cyl_radius = np.array([0.8])
+        scene.cyl_half = np.array([1.0])
+        scene.mat_type = np.array([pathtracer.MAT_DIFFUSE,
+                                   pathtracer.MAT_DIFFUSE])
+        scene.albedos = np.array([[0.1, 0.1, 0.1], [0.9, 0.1, 0.1]])
+        scene.roughness = np.array([1.0, 1.0])
+        scene.motion = np.zeros((2, 3))
+        return scene
+
+    def test_side_and_cap_normals(self):
+        import jax.numpy as jnp
+        scn = self._cyl_scene().as_jax()
+        org = np.array([[0.0, 1.0, 0.0],   # at side height -> side hit
+                        [0.0, 5.0, 5.0]],  # above the axis -> top cap
+                       np.float32)
+        dirs = np.array([[0.0, 0.0, 1.0], [0.0, -1.0, 0.0]], np.float32)
+        h = pathtracer._intersect(scn, jnp.asarray(org), jnp.asarray(dirs),
+                                  jnp.zeros(2))
+        hit = np.asarray(h["hit"])
+        t = np.asarray(h["t"])
+        n = np.asarray(h["normal"])
+        assert hit.all()
+        np.testing.assert_allclose(t, [4.2, 3.0], atol=1e-4)
+        np.testing.assert_allclose(n[0], [0.0, 0.0, -1.0], atol=1e-5)
+        np.testing.assert_allclose(n[1], [0.0, 1.0, 0.0], atol=1e-5)
+
+    def test_cylinder_in_gbuffer(self):
+        scene = self._cyl_scene()
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(13), ts=24,
+                                     spp=1, gt_spp=1)
+        c = 12
+        # Center pixel sees the cylinder side: red-ish albedo, -z normal.
+        assert tile.features[0, 21, c, c] > 0.5   # albedo_first_r
+        assert tile.features[0, 13, c, c] < -0.9  # normal_first_z
+        assert np.isfinite(tile.features).all()
+
+    def test_cylinder_casts_shadow(self):
+        import jax.numpy as jnp
+        scn = self._cyl_scene().as_jax()
+        org = np.array([[0.0, 0.01, 5.0],    # under the cylinder
+                        [3.0, 0.01, 5.0]],   # off to the side
+                       np.float32)
+        up = np.array([[0.0, 1.0, 0.0]] * 2, np.float32)
+        occ = np.asarray(pathtracer._occluded(
+            scn, jnp.asarray(org), jnp.asarray(up), jnp.full(2, 50.0)))
+        assert occ[0] and not occ[1]
+
+    def test_random_scene_has_cylinders(self):
+        rng = np.random.RandomState(5)
+        scene = random_tracer_scene(rng)
+        assert scene.cyl_centers.shape[0] > 0
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(14), ts=16,
+                                     spp=2, gt_spp=2)
+        assert np.isfinite(tile.features).all()
