@@ -26,6 +26,7 @@ the emitted JSON as ``baseline_estimate``).
 import functools
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -65,14 +66,42 @@ KSIZE = int(os.environ.get("SBMC_BENCH_KSIZE", 21))
 MODEL = os.environ.get("SBMC_BENCH_MODEL", "sbmc")
 
 
-def _is_oom(e):
-    # TPU OOMs surface under several spellings: HBM exhaustion is
-    # RESOURCE_EXHAUSTED, while Pallas scoped-VMEM overflows come back as
-    # "Internal: ... Ran out of memory in memory space vmem" (round 1's
-    # bench died because only the first was matched).
-    msg = str(e).lower()
-    return ("resource_exhausted" in msg or "ran out of memory" in msg
-            or "out of memory" in msg or "vmem" in msg)
+def _fmt_tile(v):
+    return f"{v[0]}x{v[1]}" if isinstance(v, tuple) else str(v)
+
+
+def _pair2(v):
+    return v if isinstance(v, tuple) else (v, v)
+
+
+def _ladder_main(ladder):
+    """Try each ladder rung in a FRESH subprocess.
+
+    On the tunneled TPU backend one real failure (e.g. an OOM at a large
+    tile) poisons the whole process: every subsequent device call — even a
+    PRNGKey allocation — returns RESOURCE_EXHAUSTED (measured 2026-08-17).
+    An in-process try/except fallback therefore can never salvage a
+    number; each rung must start clean.
+    """
+    for i, (tile_size, tile_pad) in enumerate(ladder):
+        if not isinstance(tile_size, tuple):
+            tile_pad = min(tile_pad, tile_size // 4)
+        env = dict(os.environ)
+        env["SBMC_BENCH_TILE"] = _fmt_tile(tile_size)
+        env["SBMC_BENCH_PAD"] = _fmt_tile(tile_pad)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        line = next((ln for ln in reversed(p.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if p.returncode == 0 and line:
+            print(line)
+            return
+        tail = (p.stderr or "").strip().splitlines()[-3:]
+        print(f"# tile {tile_size} failed (rc={p.returncode}): "
+              + " | ".join(tail)[-300:], file=sys.stderr)
+    sys.exit(1)
 
 
 def main():
@@ -174,41 +203,22 @@ def main():
         t2 = timed(1 + ITERS)
         return max(t2 - t1, 1e-9) / ITERS, n_tiles
 
-    dt = None
-    used_tile = None
-    # Pad must exceed the model's receptive-field radius (~40 px: U-Net
-    # pyramid ~30 + splat halo 10); beyond that, smaller pads cut the
-    # overlap overhead (reprocessed area = (tile/(tile-2*pad))^2: 1.44x at
-    # 768/64 vs 4x at the reference's 1024/256).
-    # Full-height rectangular strips reprocess fewer pixels than the square
-    # grid (3 strips of 1216x768/68x64 = 2.80M px vs 6 tiles of 768^2 =
-    # 3.54M for a 2.07M-px frame). Tiles per-tile larger than ~1M px are
-    # NOT laddered by default: compiling them can crash the tunnel's remote
-    # compile helper and wedge the device for ~10 min (memory:
-    # tpu-tunnel-behavior), which would poison the fallback rungs too.
-    default_ladder = [((1216, 768), (68, 64)),
-                      (768, 64), (512, 64), (256, 64)]
-    if TILE_SIZE:
-        if isinstance(TILE_SIZE, tuple):
-            pad = TILE_PAD or (TILE_SIZE[0] // 4, TILE_SIZE[1] // 4)
-        else:
-            pad = TILE_PAD or TILE_SIZE // 4
-        ladder = [(TILE_SIZE, pad)] + default_ladder
+    # Single-rung mode: SBMC_BENCH_TILE is set (by a user, or by
+    # _ladder_main's subprocess). Any failure propagates as a non-zero
+    # exit for the parent ladder to see.
+    if isinstance(TILE_SIZE, tuple):
+        pad = TILE_PAD or (TILE_SIZE[0] // 4, TILE_SIZE[1] // 4)
     else:
-        ladder = default_ladder
-    for i, (tile_size, tile_pad) in enumerate(ladder):
-        if not isinstance(tile_size, tuple):
-            tile_pad = min(tile_pad, tile_size // 4)
-        try:
-            dt, n_tiles = run(tile_size, tile_pad)
-            used_tile = (tile_size, tile_pad)
-            break
-        except Exception as e:
-            if not _is_oom(e) or i == len(ladder) - 1:
-                raise
-            print(f"# tile {tile_size} OOM ({str(e)[:120]!r}), retrying "
-                  "smaller", file=sys.stderr)
-    assert dt is not None
+        pad = TILE_PAD or TILE_SIZE // 4
+        pad = min(pad, TILE_SIZE // 4)
+    # Clamp oversized rungs to the padded frame (a 1216x768 strip on a
+    # small smoke-test frame would otherwise compute a mostly-zero giant
+    # tile); at 1080p the default strip is exactly 1080 + 2*68 so this is
+    # the identity there.
+    (th_, tw_), (py_, px_) = _pair2(TILE_SIZE), _pair2(pad)
+    tile = (min(th_, H + 2 * py_), min(tw_, W + 2 * px_))
+    dt, n_tiles = run(tile, pad)
+    used_tile = (tile, pad)
 
     fps = 1.0 / dt
     print(json.dumps({
@@ -232,5 +242,21 @@ def main():
     }))
 
 
+# Pad must exceed the model's receptive-field radius (~40 px: U-Net
+# pyramid ~30 + splat halo 10); beyond that, smaller pads cut the
+# overlap overhead (reprocessed area = (tile/(tile-2*pad))^2: 1.44x at
+# 768/64 vs 4x at the reference's 1024/256).
+# Full-height rectangular strips reprocess fewer pixels than the square
+# grid (3 strips of 1216x768/68x64 = 2.80M px vs 6 tiles of 768^2 =
+# 3.54M for a 2.07M-px frame). Tiles per-tile larger than ~1M px are
+# NOT laddered by default: compiling them can crash the tunnel's remote
+# compile helper and wedge the device for ~10 min (memory:
+# tpu-tunnel-behavior).
+_DEFAULT_LADDER = [((1216, 768), (68, 64)), (768, 64), (512, 64), (256, 64)]
+
+
 if __name__ == "__main__":
-    main()
+    if TILE_SIZE:
+        main()          # single rung (set by a user or by _ladder_main)
+    else:
+        _ladder_main(_DEFAULT_LADDER)
