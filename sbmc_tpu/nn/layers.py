@@ -105,7 +105,12 @@ class WNConv2D(nn.Module):
             kernel = v
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         padding = "SAME" if self.pad else "VALID"
-        out_dtype = x.dtype
+        # With a compute dtype set, activations stay in that dtype across
+        # the whole chain (casting back to f32 per layer would double the
+        # HBM traffic on the inter-layer tensors, which is the conv stack's
+        # actual bottleneck at inference scale); accumulation is f32 via
+        # preferred_element_type either way.
+        out_dtype = self.dtype if self.dtype is not None else x.dtype
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
@@ -116,6 +121,7 @@ class WNConv2D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", self.out_layout),
             preferred_element_type=jnp.float32,
         )
+        bias = bias.astype(out_dtype)
         if self.out_layout == "NCHW":
             return y.astype(out_dtype) + bias[:, None, None]
         return y.astype(out_dtype) + bias
