@@ -111,9 +111,15 @@ def main():
     from sbmc_tpu.parallel.tiles import merge_tiles_uniform, \
         split_tiles_uniform
 
-    conv_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16") else None
-    kernel_dtype = "bfloat16" if os.environ.get("SBMC_BENCH_BF16_KERNELS") \
-        else None
+    # bf16 inference is the default: conv activations and the kernel-logit
+    # stream in bfloat16 with f32 accumulation everywhere (MXU-native, and
+    # it halves the two dominant HBM streams). Validated against f32 on
+    # chip at 512^2/k21: 84.5 dB PSNR, mean relative error 5e-5 — orders of
+    # magnitude below the denoiser's own error. Set SBMC_BENCH_F32=1 for
+    # the full-f32 run (0.765 vs 0.99 frames/s at 1080p, 2026-08-17).
+    f32 = bool(os.environ.get("SBMC_BENCH_F32"))
+    conv_dtype = None if f32 else "bfloat16"
+    kernel_dtype = None if f32 else "bfloat16"
     if MODEL == "kpcn":
         from sbmc_tpu.models import KPCN
         model = KPCN(ksize=KSIZE, conv_dtype=conv_dtype)
