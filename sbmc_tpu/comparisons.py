@@ -24,12 +24,20 @@ evaluation harness has runnable baselines without CUDA-era builds:
   and the bilateral pass filters each sample against neighbor-pixel
   sample means rather than all sample pairs.
 
+- :func:`nfor_denoise` — Bitterli2016 NFOR ("Nonlinearly Weighted
+  First-order Regression"): NL-means weights drive a collaborative
+  per-window first-order regression of radiance on the (prefiltered)
+  auxiliary features, cross-filtered between the two half buffers, with
+  dual-bandwidth candidates selected per pixel by a dual-buffer MSE
+  estimate. Simplifications documented at the function.
+
 Learned baselines are covered natively elsewhere: KPCN (Bako2017) and
 LBF (Kalantari2015) are first-class trainable models
-(sbmc_tpu/models/kpcn.py, sbmc_tpu/models/lbf.py), and NFOR runs through
-``scripts/denoise_nfor.py`` against Tungsten's external ``denoiser``.
-Outputs drop into the same ``<spp>spp_<method>`` folders that
-``scripts/compute_metrics.py`` consumes.
+(sbmc_tpu/models/kpcn.py, sbmc_tpu/models/lbf.py). NFOR can also run
+through ``scripts/denoise_nfor.py`` against Tungsten's external
+``denoiser`` for parity checks. Outputs drop into the same
+``<spp>spp_<method>`` folders that ``scripts/compute_metrics.py``
+consumes.
 
 All filters operate on ``[c, h, w]`` buffers and expand the search window
 with a ``lax.scan`` over offsets (graph size O(1) in window area).
@@ -42,7 +50,7 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["nlm_denoise", "cross_bilateral_denoise", "rpf_denoise",
-           "denoise_buffers"]
+           "nfor_denoise", "denoise_buffers"]
 
 
 def _box_filter(x, r):
@@ -359,6 +367,186 @@ def rpf_denoise(colors, feats, randoms, radii=(7, 5, 3, 2), cell=8,
     return colors.mean(0)
 
 
+def _nlm_weight_field(guide, var, dy, dx, window_r, patch_r, k, alpha=0.5):
+    """Per-pixel NL-means weight for the window offset ``(dy, dx)``,
+    measured on ``guide`` with variance cancellation (the weight of
+    Rousselle2012 that NFOR reuses as its regression weight)."""
+    eps = 1e-10
+    g_q = _shifted(guide, dy, dx, window_r)
+    v_q = _shifted(var, dy, dx, window_r)
+    d2 = ((guide - g_q) ** 2 - alpha * (var + jnp.minimum(var, v_q))
+          ) / (eps + k * k * (var + v_q))
+    d2 = _box_filter(d2, patch_r).mean(0)
+    return jnp.exp(-jnp.maximum(d2, 0.0))               # [h, w]
+
+
+def _nlm_filter(src, guide, var, patch_r, window_r, k):
+    """NL-means filter of ``src`` with weights measured on ``guide``
+    (used by NFOR's feature prefiltering pass)."""
+    def offset(carry, i):
+        acc, wsum = carry
+        dy, dx = i // (2 * window_r + 1), i % (2 * window_r + 1)
+        w = _nlm_weight_field(guide, var, dy, dx, window_r, patch_r, k)
+        s_q = _shifted(src, dy, dx, window_r)
+        return (acc + w[None] * s_q, wsum + w), None
+
+    n = (2 * window_r + 1) ** 2
+    (acc, wsum), _ = lax.scan(
+        offset, (jnp.zeros_like(src), jnp.zeros(src.shape[-2:])),
+        jnp.arange(n))
+    return acc / (wsum[None] + 1e-10)
+
+
+def _regression_filter(y, guide, var, feat, window_r, patch_r, k):
+    """Collaborative NL-means-weighted first-order regression filter of
+    ``y`` (NFOR's core estimator).
+
+    For every window center ``p`` a weighted least-squares fit
+    ``y_q ~ beta_0(p) + beta(p)^T (f_q - f_p)`` is solved over the
+    ``(2R+1)^2`` window with NL-means weights ``w_pq`` measured on
+    ``guide``; each pixel's output averages the predictions of every
+    window containing it, weighted by the same ``w_pq`` (the paper's
+    collaborative reconstruction).
+
+    Args:
+      y: ``[c, h, w]`` buffer to filter.
+      guide: ``[c, h, w]`` the *other* half buffer (weight source).
+      var: ``[c, h, w]`` variance of the half-buffer means.
+      feat: ``[nf, h, w]`` noise-free (prefiltered), standardized features.
+      window_r: regression window radius ``R``.
+      patch_r: NL-means patch radius.
+      k: NL-means sensitivity (the candidate bandwidth).
+
+    Returns:
+      ``[c, h, w]`` filtered buffer.
+    """
+    c, h, w = y.shape
+    nf = feat.shape[0]
+    d = 1 + nf
+    win = 2 * window_r + 1
+    one = jnp.ones((1, h, w), y.dtype)
+
+    def wfield(dy, dx):
+        return _nlm_weight_field(guide, var, dy, dx, window_r, patch_r, k)
+
+    # Pass 1: accumulate the normal equations per window center.
+    def moments(carry, i):
+        m_acc, b_acc = carry
+        dy, dx = i // win, i % win
+        wgt = wfield(dy, dx)                            # [h, w]
+        df = _shifted(feat, dy, dx, window_r) - feat    # f_q - f_p
+        phi = jnp.concatenate([one, df], 0)             # [d, h, w]
+        outer = (phi[:, None] * phi[None]).reshape(d * d, h, w)
+        y_q = _shifted(y, dy, dx, window_r)
+        rhs = (phi[:, None] * y_q[None]).reshape(d * c, h, w)
+        return (m_acc + wgt[None] * outer, b_acc + wgt[None] * rhs), None
+
+    (m_acc, b_acc), _ = lax.scan(
+        moments,
+        (jnp.zeros((d * d, h, w)), jnp.zeros((d * c, h, w))),
+        jnp.arange(win * win))
+
+    # Tikhonov-regularized batched solve (features are standardized, so a
+    # scale-free ridge keeps rank-deficient windows — e.g. flat feature
+    # regions, where the fit degrades to the weighted mean — stable).
+    mat = m_acc.reshape(d, d, h, w).transpose(2, 3, 0, 1)
+    mat = mat + 1e-3 * jnp.eye(d)
+    rhs = b_acc.reshape(d, c, h, w).transpose(2, 3, 0, 1)
+    beta = jnp.linalg.solve(mat, rhs)                   # [h, w, d, c]
+    beta = beta.transpose(2, 3, 0, 1).reshape(d * c, h, w)
+
+    # Pass 2: collaborative reconstruction — each output pixel q averages
+    # beta_0(p) + beta(p)^T (f_q - f_p) over all centers p = q - offset.
+    def reconstruct(carry, i):
+        acc, wsum = carry
+        dy, dx = i // win, i % win
+        rdy, rdx = win - 1 - dy, win - 1 - dx           # reverse shift
+        w_at = _shifted(wfield(dy, dx), rdy, rdx, window_r)
+        b_at = _shifted(beta, rdy, rdx, window_r).reshape(d, c, h, w)
+        f_p = _shifted(feat, rdy, rdx, window_r)
+        df = feat - f_p                                 # f_q - f_p at q
+        pred = b_at[0] + jnp.einsum("jhw,jchw->chw", df, b_at[1:])
+        return (acc + w_at[None] * pred, wsum + w_at), None
+
+    (acc, wsum), _ = lax.scan(
+        reconstruct, (jnp.zeros_like(y), jnp.zeros((h, w))),
+        jnp.arange(win * win))
+    return acc / (wsum[None] + 1e-10)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window_r", "patch_r", "ks",
+                                    "prefilter_r"))
+def nfor_denoise(buf_a, buf_b, var, feat_a, feat_b, feat_var,
+                 window_r=8, patch_r=3, ks=(0.5, 1.0), prefilter_r=3):
+    """Nonlinearly weighted first-order regression (Bitterli et al. 2016),
+    the fourth comparison denoiser of the reference (built from
+    pbrt_patches/2016_bitterli_nfor.diff + Tungsten in
+    dockerfiles/cuda-sbmc.dockerfile:53-90), re-implemented TPU-native.
+
+    Pipeline (paper sections 5-6):
+
+    1. *Feature prefiltering*: each half buffer's auxiliary features are
+       NL-means filtered with weights measured on the other half buffer;
+       the two results are averaged into one near-noise-free feature set.
+    2. *Candidates*: for each bandwidth ``k`` the half buffers are
+       cross-filtered (A with weights from B and vice versa) by
+       :func:`_regression_filter` — collaborative first-order regression
+       on the features with NL-means weights.
+    3. *Selection*: per-pixel MSE of each candidate is estimated from the
+       dual buffers (``E[(F_A - B)^2] = MSE + Var(B)``), smoothed, and the
+       binary argmin map (also smoothed) blends the candidates.
+
+    Documented simplifications vs the Tungsten build: features are
+    standardized frame-globally instead of per-window min-max; the MSE and
+    selection maps are box-smoothed rather than NL-means-smoothed; no
+    second-pass re-filtering of the final image.
+
+    Args:
+      buf_a, buf_b: ``[c, h, w]`` independent half-buffer radiance means.
+      var: ``[c, h, w]`` variance of each half-buffer's mean.
+      feat_a, feat_b: ``[nf, h, w]`` half-buffer feature means
+        (albedo/normal/depth...).
+      feat_var: ``[nf, h, w]`` variance of the feature half-buffer means.
+      window_r: regression window radius.
+      patch_r: NL-means patch radius.
+      ks: candidate NL-means sensitivities (the paper's {0.5, 1.0}).
+      prefilter_r: feature-prefilter window radius.
+
+    Returns:
+      ``[c, h, w]`` denoised radiance.
+    """
+    # 1. Feature prefiltering (cross NL-means, k=1, small patches).
+    f_a = _nlm_filter(feat_a, feat_b, feat_var, 1, prefilter_r, 1.0)
+    f_b = _nlm_filter(feat_b, feat_a, feat_var, 1, prefilter_r, 1.0)
+    feat = 0.5 * (f_a + f_b)
+    mu = feat.mean((1, 2), keepdims=True)
+    sd = feat.std((1, 2), keepdims=True) + 1e-6
+    feat = (feat - mu) / sd
+
+    # 2. Dual-bandwidth cross-filtered candidates.
+    cands, mses = [], []
+    for k in ks:
+        filt_a = _regression_filter(buf_a, buf_b, var, feat,
+                                    window_r, patch_r, k)
+        filt_b = _regression_filter(buf_b, buf_a, var, feat,
+                                    window_r, patch_r, k)
+        cands.append(0.5 * (filt_a + filt_b))
+        # Dual-buffer residual MSE estimate, box-smoothed.
+        res = 0.5 * (((filt_a - buf_b) ** 2 - var)
+                     + ((filt_b - buf_a) ** 2 - var))
+        mses.append(_box_filter(res.mean(0)[None], 2)[0])
+
+    # 3. Per-pixel selection with smoothed binary maps.
+    out = cands[0]
+    mse = mses[0]
+    for cand, m in zip(cands[1:], mses[1:]):
+        sel = _box_filter((m < mse).astype(out.dtype)[None], 2)[0]
+        out = (1.0 - sel)[None] * out + sel[None] * cand
+        mse = jnp.minimum(mse, m)
+    return out
+
+
 def denoise_buffers(features, labels, method="nlm", **kw):
     """Run a baseline on raw sample records (RAW_MODE feature stacks).
 
@@ -389,6 +577,19 @@ def denoise_buffers(features, labels, method="nlm", **kw):
     if method == "nlm":
         out = nlm_denoise(jnp.asarray(buf_a), jnp.asarray(buf_b),
                           jnp.asarray(var), **kw)
+    elif method == "nfor":
+        feats = np.concatenate([
+            planes("albedo_first_r"),
+            features[:, labels.index("normal_first_x"):
+                     labels.index("normal_first_x") + 3],
+            planes("depth_first", 1)], 1)
+        feat_a = feats[:half].mean(0)
+        feat_b = feats[half:].mean(0) if spp > 1 else feat_a
+        feat_var = feats.var(0) / max(half, 1)
+        out = nfor_denoise(jnp.asarray(buf_a), jnp.asarray(buf_b),
+                           jnp.asarray(var), jnp.asarray(feat_a),
+                           jnp.asarray(feat_b), jnp.asarray(feat_var),
+                           **kw)
     elif method == "rpf":
         feats = np.concatenate([
             planes("albedo_first_r"),

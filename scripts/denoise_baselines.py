@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Denoise .bin samples with the native classical baselines (NLM /
-cross-bilateral), producing the same .exr/.png outputs as scripts/denoise.py
-so scripts/compute_metrics.py can score them alongside the SBMC model.
+"""Denoise .bin samples with the native prior-work baselines (NLM /
+cross-bilateral / RPF / NFOR), producing the same .exr/.png outputs as
+scripts/denoise.py so scripts/compute_metrics.py can score them alongside
+the SBMC model.
 
 Plays the role of the reference's dockerized prior-method binaries
 (reference: dockerfiles/cuda-sbmc.dockerfile:53-90) for the two classical
@@ -60,7 +61,8 @@ if __name__ == "__main__":
                         help="folder containing the sample .bin files.")
     parser.add_argument("--output", type=str, required=True,
                         help="output .exr destination.")
-    parser.add_argument("--method", choices=["nlm", "cbf", "rpf"], default="nlm")
+    parser.add_argument("--method", choices=["nlm", "cbf", "rpf", "nfor"],
+                        default="nlm")
     parser.add_argument("--spp", type=int, default=None,
                         help="number of samples to use as input.")
     parser.add_argument("--verbose", action="store_true")

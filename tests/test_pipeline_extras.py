@@ -455,6 +455,47 @@ class TestComparisonBaselines:
         right = out[:, :, w // 2 + 2:].mean()
         assert right - left > 0.8
 
+    def test_nfor_reproduces_affine_signal_exactly(self, rng):
+        """First-order regression must pass any radiance that is exactly
+        affine in the features through *unchanged* (to solver tolerance) —
+        the invariance that separates NFOR from zeroth-order filters."""
+        from sbmc_tpu.comparisons import nfor_denoise
+        h, w = 20, 24
+        feat = rng.rand(7, h, w).astype(np.float32)
+        a = np.array([0.2, 0.4, 0.1], np.float32)
+        bmat = rng.uniform(-0.3, 0.3, (3, 7)).astype(np.float32)
+        clean = a[:, None, None] + np.einsum("cf,fhw->chw", bmat, feat)
+        var = np.full((3, h, w), 1e-6, np.float32)
+        fvar = np.full((7, h, w), 1e-8, np.float32)
+        out = np.asarray(nfor_denoise(
+            clean, clean, var, feat, feat, fvar, window_r=3, patch_r=1))
+        np.testing.assert_allclose(out, clean, atol=5e-3)
+
+    def test_nfor_denoises_and_keeps_feature_edges(self, rng):
+        """Noise shrinks; an edge present in the features survives."""
+        from sbmc_tpu.comparisons import nfor_denoise
+        h, w = 24, 28
+        edge = (np.arange(w) > w // 2).astype(np.float32)
+        clean = np.tile(edge, (3, h, 1)) * 0.6 + 0.2
+        a = clean + rng.normal(0, 0.15, clean.shape).astype(np.float32)
+        b = clean + rng.normal(0, 0.15, clean.shape).astype(np.float32)
+        var = np.full(clean.shape, 0.15 ** 2, np.float32)
+        feat = np.concatenate([
+            np.tile(edge, (3, h, 1)).astype(np.float32),
+            np.tile(np.array([0, 0, -1.0], np.float32)[:, None, None],
+                    (1, h, w)),
+            np.full((1, h, w), 0.1, np.float32)], 0)
+        fvar = np.full((7, h, w), 1e-6, np.float32)
+        out = np.asarray(nfor_denoise(a, b, var, feat, feat, fvar,
+                                      window_r=4, patch_r=2))
+        mse_in = ((0.5 * (a + b) - clean) ** 2).mean()
+        mse_out = ((out - clean) ** 2).mean()
+        assert np.isfinite(out).all()
+        assert mse_out < 0.3 * mse_in
+        left = out[0, :, : w // 2 - 2].mean()
+        right = out[0, :, w // 2 + 2:].mean()
+        assert right - left > 0.8 * 0.6
+
     def test_denoise_buffers_from_samples(self, rng, tmp_path):
         """End-to-end on real .bin records through the RAW_MODE stack."""
         from sbmc_tpu.comparisons import denoise_buffers
@@ -466,7 +507,8 @@ class TestComparisonBaselines:
         d = TilesDataset(str(tmp_path), mode=TilesDataset.RAW_MODE, spp=4)
         item = d[0]
         for method, kw in (("nlm", {"window_r": 3}), ("cbf", {"window_r": 3}),
-                           ("rpf", {"radii": (2, 1)})):
+                           ("rpf", {"radii": (2, 1)}),
+                           ("nfor", {"window_r": 3, "prefilter_r": 2})):
             out = denoise_buffers(item["features"], d.labels, method=method,
                                   **kw)
             assert out.shape == (3, 16, 16)
