@@ -12,8 +12,10 @@ no-russian-roulette ``maxdepth`` design).
 
 Scene model (all analytic, so the tracer stays a fixed-shape jit graph):
 
-- Geometry: moving spheres, moving axis-aligned boxes, and a checkered
-  ground plane.
+- Geometry: moving spheres, moving axis-aligned boxes, capped cylinders,
+  triangle meshes (flat triangle soup with a per-triangle primitive-slot
+  map — the role of the reference's OBJ meshes,
+  sbmc/scene_generator/converters.py), and a checkered ground plane.
 - Materials (mapped from the reference's material mixture,
   sbmc/scene_generator/randomizers.py:194-227): diffuse (matte/uber),
   mirror, glass (Fresnel dielectric with refraction), metal (colored Phong
@@ -82,10 +84,14 @@ class TracerScene:
 
     Primitive arrays (``albedos``, ``roughness``, ``motion``, ``mat_type``,
     ``tex_scale``) cover spheres first, then boxes, then capped y-axis
-    cylinders: length ``n_spheres + n_boxes + n_cylinders`` (the reference
-    scene generator's Sphere/Cylinder/Plane primitive set,
-    sbmc/scene_generator/geometry.py:26-188; arbitrary OBJ meshes remain the
-    external-PBRT path's job).
+    cylinders, then triangle meshes: length ``n_spheres + n_boxes +
+    n_cylinders + n_meshes`` (the reference scene generator's
+    Sphere/Cylinder/Plane/TriangleMesh primitive set,
+    sbmc/scene_generator/geometry.py:26-188). Meshes are a flat triangle
+    soup (``tri_v0/e1/e2``) whose ``tri_prim`` column maps every triangle
+    to its mesh's primitive slot for materials/motion — the wavefront
+    analog of the reference's per-material OBJ splits
+    (sbmc/scene_generator/converters.py:44-224).
     """
     centers: np.ndarray      # [s, 3] sphere centers
     radii: np.ndarray        # [s]
@@ -117,6 +123,15 @@ class TracerScene:
         default_factory=lambda: np.zeros((0,)))
     cyl_half: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0,)))
+    tri_v0: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    tri_e1: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    tri_e2: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    tri_prim: np.ndarray = dataclasses.field(  # [T] primitive slot per tri
+        default_factory=lambda: np.zeros((0,), np.int32))
+    n_meshes: int = 0
     sky_zenith: Optional[np.ndarray] = None  # defaults to ``sky`` (constant)
     sun_dir: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.0, 1.0, 0.0]))
@@ -127,7 +142,7 @@ class TracerScene:
 
     def _n_prims(self):
         return (self.centers.shape[0] + self.box_centers.shape[0]
-                + self.cyl_centers.shape[0])
+                + self.cyl_centers.shape[0] + self.n_meshes)
 
     def as_jax(self):
         p = self._n_prims()
@@ -153,6 +168,14 @@ class TracerScene:
         tex = (np.zeros(p) if self.tex_scale is None
                else fit(self.tex_scale, (p,)))
         zen = self.sky if self.sky_zenith is None else self.sky_zenith
+        # Column -> primitive-slot map for the concatenated hit candidates
+        # (spheres, boxes, cylinders are their own slot; each triangle maps
+        # to its mesh's slot).
+        base = (self.centers.shape[0] + self.box_centers.shape[0]
+                + self.cyl_centers.shape[0])
+        col_slot = np.concatenate([
+            np.arange(base, dtype=np.int32),
+            np.asarray(self.tri_prim, np.int32).reshape(-1)])
         return {
             "centers": jnp.asarray(self.centers, jnp.float32).reshape(-1, 3),
             "radii": jnp.asarray(self.radii, jnp.float32),
@@ -166,6 +189,11 @@ class TracerScene:
                                       jnp.float32).reshape(-1),
             "cyl_half": jnp.asarray(self.cyl_half,
                                     jnp.float32).reshape(-1),
+            "tri_v0": jnp.asarray(self.tri_v0, jnp.float32).reshape(-1, 3),
+            "tri_e1": jnp.asarray(self.tri_e1, jnp.float32).reshape(-1, 3),
+            "tri_e2": jnp.asarray(self.tri_e2, jnp.float32).reshape(-1, 3),
+            "tri_prim": jnp.asarray(self.tri_prim, jnp.int32).reshape(-1),
+            "col_slot": jnp.asarray(col_slot, jnp.int32),
             "albedos": jnp.asarray(fit(self.albedos, (p, 3), 0.5)),
             "roughness": jnp.asarray(fit(self.roughness, (p,), 1.0)),
             "motion": jnp.asarray(fit(self.motion, (p, 3))),
@@ -189,12 +217,60 @@ class TracerScene:
         }
 
 
-def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2):
+#: Platonic-solid templates for random prop meshes (vertices, faces).
+_MESH_TEMPLATES = None
+
+
+def _mesh_templates():
+    global _MESH_TEMPLATES
+    if _MESH_TEMPLATES is None:
+        tet_v = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                         np.float64) / np.sqrt(3)
+        tet_f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]])
+        oct_v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                          [0, 0, 1], [0, 0, -1]], np.float64)
+        oct_f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                          [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+        g = (1 + np.sqrt(5)) / 2
+        ico_v = np.array([[-1, g, 0], [1, g, 0], [-1, -g, 0], [1, -g, 0],
+                          [0, -1, g], [0, 1, g], [0, -1, -g], [0, 1, -g],
+                          [g, 0, -1], [g, 0, 1], [-g, 0, -1], [-g, 0, 1]],
+                         np.float64)
+        ico_v /= np.linalg.norm(ico_v[0])
+        ico_f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10],
+                          [0, 10, 11], [1, 5, 9], [5, 11, 4], [11, 10, 2],
+                          [10, 7, 6], [7, 1, 8], [3, 9, 4], [3, 4, 2],
+                          [3, 2, 6], [3, 6, 8], [3, 8, 9], [4, 9, 5],
+                          [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+        _MESH_TEMPLATES = [(tet_v, tet_f), (oct_v, oct_f), (ico_v, ico_f)]
+    return _MESH_TEMPLATES
+
+
+def _random_mesh(rng):
+    """A jittered, rotated, scaled platonic solid resting above the ground
+    (the wavefront stand-in for the reference's random OBJ props,
+    sbmc/scene_generator/generators.py random model placement)."""
+    verts, faces = _mesh_templates()[rng.randint(3)]
+    verts = verts.copy() * rng.uniform(0.4, 1.1)
+    verts += rng.normal(0, 0.08, verts.shape)      # break the symmetry
+    # Random rotation from a QR decomposition.
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))
+    verts = verts @ q.T
+    center = np.array([rng.uniform(-3.5, 3.5),
+                       0.0,
+                       rng.uniform(3.0, 9.0)])
+    verts += center
+    verts[:, 1] += 0.05 - verts[:, 1].min()        # rest on the ground
+    return verts, faces
+
+
+def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
     """Sample a random scene with the reference's material-mixture spirit
     (sbmc/scene_generator/randomizers.py:194-227: 5% mirror, 5% glass,
     10% metal, 20% plastic, 10% substrate, 30% uber, 20% diffuse — the
     pbrt-only classes collapse onto our five scattering models)."""
-    p = n_spheres + n_boxes + n_cyls
+    p = n_spheres + n_boxes + n_cyls + n_meshes
     mat = rng.choice(
         [MAT_DIFFUSE, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_PLASTIC],
         size=p, p=[0.50, 0.05, 0.05, 0.10, 0.30])
@@ -220,6 +296,25 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2):
                             cyl_half * (1 + 1.5 * rng.rand(n_cyls)),
                             rng.uniform(3.0, 9.0, n_cyls)], 1)
 
+    tri_v0, tri_e1, tri_e2, tri_prim = [], [], [], []
+    mesh_verts = []
+    base = n_spheres + n_boxes + n_cyls
+    for mi in range(n_meshes):
+        verts, faces = _random_mesh(rng)
+        mesh_verts.append(verts)
+        v0 = verts[faces[:, 0]]
+        tri_v0.append(v0)
+        tri_e1.append(verts[faces[:, 1]] - v0)
+        tri_e2.append(verts[faces[:, 2]] - v0)
+        tri_prim.append(np.full(len(faces), base + mi, np.int32))
+    cat = lambda xs, d: (np.concatenate(xs)  # noqa: E731
+                         if xs else np.zeros((0,) + d, np.float32))
+    tri_v0 = cat(tri_v0, (3,))
+    tri_e1 = cat(tri_e1, (3,))
+    tri_e2 = cat(tri_e2, (3,))
+    tri_prim = (np.concatenate(tri_prim) if tri_prim
+                else np.zeros((0,), np.int32))
+
     # Scene radius: the reference PBRT computes it from the world bound;
     # use the camera-to-farthest-surface distance (plus light) here.
     cam = np.array([rng.uniform(-1, 1), rng.uniform(0.8, 2.2),
@@ -232,6 +327,8 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2):
                      + np.linalg.norm(box_half, axis=1))),
         float(np.max(np.linalg.norm(cyl_centers - cam, axis=1)
                      + np.hypot(cyl_radius, cyl_half))) if n_cyls else 0.0,
+        max((float(np.max(np.linalg.norm(v - cam, axis=1)))
+             for v in mesh_verts), default=0.0),
         float(np.linalg.norm(light_pos - cam)))
 
     return TracerScene(
@@ -250,6 +347,11 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2):
         cyl_centers=cyl_centers,
         cyl_radius=cyl_radius,
         cyl_half=cyl_half,
+        tri_v0=tri_v0,
+        tri_e1=tri_e1,
+        tri_e2=tri_e2,
+        tri_prim=tri_prim,
+        n_meshes=n_meshes,
         ground_albedo=rng.uniform(0.2, 0.8, 3),
         light_pos=light_pos,
         light_radius=float(rng.uniform(0.2, 0.8)),
@@ -359,6 +461,29 @@ def _cyl_ts(scn, org, dirs, t):
     return ts, inside, cc
 
 
+def _tri_ts(scn, org, dirs, t):
+    """Triangle hit distances [N, T] (Moeller-Trumbore, vectorized over the
+    full ray x triangle product; meshes here are small props, so no BVH —
+    the [N, T] broadcast maps straight onto the VPU)."""
+    e1, e2 = scn["tri_e1"], scn["tri_e2"]       # [T, 3]
+    off = t[:, None, None] * scn["motion"][scn["tri_prim"]][None]
+    o = org[:, None, :] - scn["tri_v0"][None] - off     # [N, T, 3]
+    d = dirs[:, None, :]
+    pvec = jnp.cross(d, e2[None])
+    det = jnp.sum(pvec * e1[None], -1)                  # [N, T]
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    u = jnp.sum(o * pvec, -1) * inv_det
+    qvec = jnp.cross(o, e1[None])
+    v = jnp.sum(d * qvec, -1) * inv_det
+    ts = jnp.sum(e2[None] * qvec, -1) * inv_det
+    ok = ((jnp.abs(det) > 1e-9) & (u >= 0) & (v >= 0) & (u + v <= 1)
+          & (ts > 1e-3))
+    ts = jnp.where(ok, ts, _INF)
+    # Backface hit (negative determinant under outward winding) = the ray
+    # is inside the closed mesh; drives the glass eta flip.
+    return ts, ok & (det < 0)
+
+
 def _intersect(scn, org, dirs, t):
     """Nearest-hit for ray bundles [N, 3]. Returns hit dict."""
     t_max = scn["scene_radius"] * MAX_RAY_FACTOR
@@ -371,6 +496,7 @@ def _intersect(scn, org, dirs, t):
     tg = jnp.where(jnp.abs(dy) > 1e-8, -org[:, 1] / dy, _INF)
     tg = jnp.where((tg > 1e-3) & (tg < t_max), tg, _INF)
 
+    nt = scn["tri_v0"].shape[0]
     ts_s, in_s, c_s = _sphere_ts(scn, org, dirs, t)
     ts_all, inside_all = [ts_s], [in_s]
     if nb > 0:
@@ -381,7 +507,11 @@ def _intersect(scn, org, dirs, t):
         ts_c, in_c, c_c = _cyl_ts(scn, org, dirs, t)
         ts_all.append(ts_c)
         inside_all.append(in_c)
-    ts_all = jnp.concatenate(ts_all, 1)             # [N, S+B+C]
+    if nt > 0:
+        ts_t, in_t = _tri_ts(scn, org, dirs, t)
+        ts_all.append(ts_t)
+        inside_all.append(in_t)
+    ts_all = jnp.concatenate(ts_all, 1)             # [N, S+B+C+T]
     inside_all = jnp.concatenate(inside_all, 1)
 
     p_idx = jnp.argmin(ts_all, axis=1)                  # [N]
@@ -430,6 +560,15 @@ def _intersect(scn, org, dirs, t):
                          jnp.zeros_like(q[:, 1])], -1)
         n_cyl = jnp.where((u > v)[:, None], cap, side)
         n_prim = jnp.where((p_idx < ns + nb)[:, None], n_prim, n_cyl)
+    if nt > 0:
+        # Triangle geometric normal (two-sided; flipped towards the ray
+        # below like every other primitive).
+        t_idx = jnp.clip(p_idx - ns - nb - nc, 0, nt - 1)
+        n_tri = jnp.cross(scn["tri_e1"], scn["tri_e2"])
+        n_tri = n_tri / (jnp.linalg.norm(n_tri, axis=-1, keepdims=True)
+                         + 1e-12)
+        n_prim = jnp.where((p_idx < ns + nb + nc)[:, None], n_prim,
+                           n_tri[t_idx])
     n_geo = jnp.where(hit_prim[:, None], n_prim,
                       jnp.array([0.0, 1.0, 0.0])[None])
     # Shading normal faces the incoming ray.
@@ -437,10 +576,13 @@ def _intersect(scn, org, dirs, t):
                        -n_geo, n_geo)
 
     # Albedo: checkered ground; optional 3D-checker texture on primitives.
+    # Material lookups go through the column->slot map (triangles share
+    # their mesh's slot).
+    slot = scn["col_slot"][p_idx]
     checker = (jnp.floor(p[:, 0]) + jnp.floor(p[:, 2])) % 2.0
     g_alb = scn["ground_albedo"][None] * (0.5 + 0.5 * checker[:, None])
-    a_prim = scn["albedos"][p_idx]
-    freq = scn["tex_scale"][p_idx]
+    a_prim = scn["albedos"][slot]
+    freq = scn["tex_scale"][slot]
     ch3 = (jnp.floor(p[:, 0] * freq) + jnp.floor(p[:, 1] * freq)
            + jnp.floor(p[:, 2] * freq)) % 2.0
     a_prim = jnp.where((freq > 0)[:, None],
@@ -448,9 +590,9 @@ def _intersect(scn, org, dirs, t):
     albedo = jnp.where(hit_prim[:, None], a_prim, g_alb)
     albedo = jnp.where(hit[:, None], albedo, 0.0)
 
-    mat = jnp.where(hit_prim, scn["mat_type"][p_idx], MAT_DIFFUSE)
+    mat = jnp.where(hit_prim, scn["mat_type"][slot], MAT_DIFFUSE)
     mat = jnp.where(hit, mat, MAT_DIFFUSE)
-    rough = jnp.where(hit_prim, scn["roughness"][p_idx], 1.0)
+    rough = jnp.where(hit_prim, scn["roughness"][slot], 1.0)
     inside = hit_prim & p_inside
 
     return {"hit": hit, "id": hid, "t": jnp.where(hit, best_t, 0.0),
@@ -469,6 +611,9 @@ def _occluded(scn, org, dirs, dist):
     if scn["cyl_radius"].shape[0] > 0:
         ts_c, _, _ = _cyl_ts(scn, org, dirs, zeros)
         ok = jnp.concatenate([ok, ts_c < dist[:, None] - 1e-3], 1)
+    if scn["tri_v0"].shape[0] > 0:
+        ts_t, _ = _tri_ts(scn, org, dirs, zeros)
+        ok = jnp.concatenate([ok, ts_t < dist[:, None] - 1e-3], 1)
     return jnp.any(ok, axis=1)
 
 

@@ -285,3 +285,87 @@ class TestCylinders:
         tile = render_tile_wavefront(scene, jax.random.PRNGKey(14), ts=16,
                                      spp=2, gt_spp=2)
         assert np.isfinite(tile.features).all()
+
+
+class TestTriangleMeshes:
+    """Triangle-soup meshes (reference: arbitrary OBJ props via
+    sbmc/scene_generator/converters.py; here Moeller-Trumbore over a flat
+    triangle list with a per-triangle primitive-slot map)."""
+
+    def _tri_scene(self):
+        scene = _simple_scene()
+        scene.centers = np.array([[100.0, 1.0, 5.0]])  # sphere out of view
+        # One big triangle facing the camera at z=5.
+        scene.tri_v0 = np.array([[-2.0, 0.0, 5.0]])
+        scene.tri_e1 = np.array([[4.0, 0.0, 0.0]])
+        scene.tri_e2 = np.array([[0.0, 4.0, 0.0]])
+        scene.tri_prim = np.array([1], np.int32)
+        scene.n_meshes = 1
+        scene.mat_type = np.array([pathtracer.MAT_DIFFUSE,
+                                   pathtracer.MAT_DIFFUSE])
+        scene.albedos = np.array([[0.1, 0.1, 0.1], [0.9, 0.1, 0.1]])
+        scene.roughness = np.array([1.0, 1.0])
+        scene.motion = np.zeros((2, 3))
+        return scene
+
+    def test_triangle_hit_normal_and_material(self):
+        import jax.numpy as jnp
+        scn = self._tri_scene().as_jax()
+        org = np.array([[0.0, 1.0, 0.0],    # hits the triangle
+                        [0.0, 1.0, 10.0]],  # behind it, pointing away
+                       np.float32)
+        dirs = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], np.float32)
+        h = pathtracer._intersect(scn, jnp.asarray(org), jnp.asarray(dirs),
+                                  jnp.zeros(2))
+        assert np.asarray(h["hit"])[0]
+        assert not np.asarray(h["hit"])[1]
+        np.testing.assert_allclose(np.asarray(h["t"])[0], 5.0, atol=1e-4)
+        # Normal faces the incoming ray (-z); albedo from slot 1.
+        np.testing.assert_allclose(np.asarray(h["normal"])[0],
+                                   [0.0, 0.0, -1.0], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h["albedo"])[0],
+                                   [0.9, 0.1, 0.1], atol=1e-5)
+
+    def test_backface_hit_flags_inside(self):
+        """cross(e1, e2) = +z is the winding normal, so a ray travelling +z
+        hits the back face (inside=True for a closed mesh) and a ray
+        travelling -z hits the front (inside=False)."""
+        import jax.numpy as jnp
+        scn = self._tri_scene().as_jax()
+        org = np.array([[0.0, 1.0, 0.0],
+                        [0.0, 1.0, 10.0]], np.float32)
+        dirs = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]], np.float32)
+        h = pathtracer._intersect(scn, jnp.asarray(org), jnp.asarray(dirs),
+                                  jnp.zeros(2))
+        assert np.asarray(h["hit"]).all()
+        assert np.asarray(h["inside"])[0]
+        assert not np.asarray(h["inside"])[1]
+
+    def test_triangle_in_gbuffer_and_shadow(self):
+        import jax.numpy as jnp
+        scene = self._tri_scene()
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(15), ts=24,
+                                     spp=1, gt_spp=1)
+        c = 12
+        assert tile.features[0, 21, c, c] > 0.5   # albedo_first_r
+        assert np.isfinite(tile.features).all()
+        scn = scene.as_jax()
+        org = np.array([[0.0, 1.0, 0.0],     # triangle blocks +z
+                        [5.0, 1.0, 0.0]],    # off to the side
+                       np.float32)
+        fwd = np.array([[0.0, 0.0, 1.0]] * 2, np.float32)
+        occ = np.asarray(pathtracer._occluded(
+            scn, jnp.asarray(org), jnp.asarray(fwd), jnp.full(2, 50.0)))
+        assert occ[0] and not occ[1]
+
+    def test_random_scene_has_meshes_and_renders(self):
+        rng = np.random.RandomState(7)
+        scene = random_tracer_scene(rng)
+        assert scene.tri_v0.shape[0] >= 8      # >= 2 platonic props
+        assert scene.n_meshes == 2
+        # Mesh slots are addressable by every per-primitive array.
+        p = scene._n_prims()
+        assert scene.tri_prim.max() == p - 1
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(16), ts=16,
+                                     spp=2, gt_spp=2)
+        assert np.isfinite(tile.features).all()
