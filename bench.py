@@ -166,8 +166,15 @@ def main():
             }
 
         shapes = jax.eval_shape(make_tile, jax.random.PRNGKey(1))
+
+        # Params are spatial-size independent; init on a tiny tile — a
+        # full-size init runs the whole model eagerly (unfused) and can
+        # OOM the chip before the benchmark even starts.
+        def _tiny(s):
+            return s[:-2] + (min(s[-2], 32), min(s[-1], 32))
         params = model.init(jax.random.PRNGKey(0), {
-            k: np.zeros(v.shape, np.float32) for k, v in shapes.items()})
+            k: np.zeros(_tiny(v.shape), np.float32)
+            for k, v in shapes.items()})
 
         def frame(params, key):
             # One frame = all overlap tiles, sequentially on-device (lax.map

@@ -114,6 +114,30 @@ class WNConv2D(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
+        if self.ksize == 1 and self.stride == 1:
+            # 1x1 convolutions lower ~20-25% faster as explicit channel
+            # matmuls than through conv_general_dilated (measured on v5e
+            # at 4x1216x768: 15.3 vs 19.4 ms for the embedding chain), and
+            # the NCHW epilogue falls out of the dot's natural result
+            # layout ([cout, n, hw]) instead of a separate transposed
+            # conv output (measured 14.1 -> 5.2 ms for the k^2=441
+            # kernel-regressor prediction layer).
+            km = kernel.reshape(cin, self.features)
+            n, hh, ww = x.shape[0], x.shape[1], x.shape[2]
+            bias = bias.astype(out_dtype)
+            if self.out_layout == "NCHW":
+                y = jax.lax.dot_general(
+                    km.T, x.reshape(n, hh * ww, cin),
+                    (((1,), (2,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                y = y.transpose(1, 0, 2).reshape(
+                    n, self.features, hh, ww)
+                return y.astype(out_dtype) + bias[:, None, None]
+            y = jax.lax.dot_general(
+                x.reshape(n * hh * ww, cin), km, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return y.reshape(n, hh, ww, self.features).astype(out_dtype) \
+                + bias
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride, self.stride),
