@@ -255,17 +255,21 @@ def main():
     }))
 
 
-# Pad must exceed the model's receptive-field radius (~40 px: U-Net
-# pyramid ~30 + splat halo 10); beyond that, smaller pads cut the
+# Pad must exceed the model's receptive-field radius (~43 px: U-Net
+# pyramid ~33 + splat halo 10); beyond that, smaller pads cut the
 # overlap overhead (reprocessed area = (tile/(tile-2*pad))^2: 1.44x at
 # 768/64 vs 4x at the reference's 1024/256).
 # Full-height rectangular strips reprocess fewer pixels than the square
-# grid (3 strips of 1216x768/68x64 = 2.80M px vs 6 tiles of 768^2 =
-# 3.54M for a 2.07M-px frame). Tiles per-tile larger than ~1M px are
-# NOT laddered by default: compiling them can crash the tunnel's remote
-# compile helper and wedge the device for ~10 min (memory:
-# tpu-tunnel-behavior).
-_DEFAULT_LADDER = [((1216, 768), (68, 64)), (768, 64), (512, 64), (256, 64)]
+# grid (2 strips of 1184x1056/52x48 = 2.50M px, 3 strips of
+# 1216x768/68x64 = 2.80M px, 6 tiles of 768^2 = 3.54M, for a 2.07M-px
+# frame). The 2-strip rung measured only ~1% faster than 3 strips
+# (2026-08-17: 1.2537 vs 1.2378 fps) — the splat kernels' TW=256
+# blocking pads 1056 -> 1280 columns, eating most of the geometry win —
+# but it is the best measured rung. Larger single tiles OOM at bf16
+# (1216x2048) and can crash the tunnel's remote compile helper (memory:
+# tpu-tunnel-behavior), so they are not laddered.
+_DEFAULT_LADDER = [((1184, 1056), (52, 48)), ((1216, 768), (68, 64)),
+                   (768, 64), (512, 64), (256, 64)]
 
 
 if __name__ == "__main__":
