@@ -262,14 +262,15 @@ def main():
 # Full-height rectangular strips reprocess fewer pixels than the square
 # grid (2 strips of 1184x1056/52x48 = 2.50M px, 3 strips of
 # 1216x768/68x64 = 2.80M px, 6 tiles of 768^2 = 3.54M, for a 2.07M-px
-# frame). The 2-strip rung measured only ~1% faster than 3 strips
-# (2026-08-17: 1.2537 vs 1.2378 fps) — the splat kernels' TW=256
-# blocking pads 1056 -> 1280 columns, eating most of the geometry win —
-# but it is the best measured rung. Larger single tiles OOM at bf16
+# frame). Horizontal full-width strips 640x2048/50x64 are the measured
+# best (1.3646 fps, 2026-08-17): 2048 is a multiple of the splat
+# kernels' widest lane tile, so no padded-column waste, vs 1056 -> 1152
+# (vertical 2-strip, 1.2537 fps) and the extra conv work of the
+# 3-strip grid (1.2378 fps). Larger single tiles OOM at bf16
 # (1216x2048) and can crash the tunnel's remote compile helper (memory:
 # tpu-tunnel-behavior), so they are not laddered.
-_DEFAULT_LADDER = [((1184, 1056), (52, 48)), ((1216, 768), (68, 64)),
-                   (768, 64), (512, 64), (256, 64)]
+_DEFAULT_LADDER = [((640, 2048), (50, 64)), ((1184, 1056), (52, 48)),
+                   ((1216, 768), (68, 64)), (768, 64), (512, 64), (256, 64)]
 
 
 if __name__ == "__main__":

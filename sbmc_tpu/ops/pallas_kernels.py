@@ -78,10 +78,18 @@ def _pick_blocks(h, w, block_h, block_w, k2=1, streams=3, dtype=None):
         return (block_h if block_h is not None else sub,
                 block_w if block_w is not None else (128 if w <= 256
                                                      else 256))
+    # The width axis is padded up to a TW multiple, and the dominant
+    # k2-plane stream pays for every padded column: at w=1056, TW=256
+    # pads to 1280 (+21%) while TW=128 pads to 1152 (+9%). Prefer the
+    # TW with the least padding (256 on ties: wider blocks amortize the
+    # data-halo DMA, RW = TW + k - 1 rounded to 128). Same principle,
+    # measured on the fused splat's wider tiles: 87.8 -> 77.0 ms at
+    # 1184x1056/k21 (_psf_pick_tw, 2026-08-17).
+    tw = 256 if _round_up(w, 256) <= _round_up(w, 128) else 128
     # Taller tiles amortize the halo overfetch; the v5e sweep
     # (scripts/tpu_session.py, 2026-08-16) measured TH=32 fastest for every
     # kernel that fits (kw_fwd 3.78 ms vs 3.97 at TH=8; kw_exp 3.52 vs 7.41).
-    for th, tw in ((4 * sub, 256), (2 * sub, 256), (sub, 256), (sub, 128)):
+    for th in (4 * sub, 2 * sub, sub):
         if streams * k2 * th * tw * itemsize <= _VMEM_LIMIT:
             return th, tw
     return sub, 128
@@ -548,12 +556,18 @@ def _psf_kernel(dp_ref, lp_ref, sr_ref, sw_ref, mw_ref,
 
 
 def _psf_pick_tw(w):
-    """Widest lane tile that divides the (padded) width without waste —
-    wider tiles cut the halo overfetch on the dominant logits stream."""
-    for tw in (512, 384, 256):
-        if w % tw == 0 or w > 2 * tw:
-            return tw
-    return 128 if w <= 128 else 256
+    """Lane-tile width minimizing the padded width (every padded column
+    costs a full k^2-plane stream pass); ties go to the widest tile,
+    which cuts the halo overfetch on the dominant logits stream. The old
+    "widest that divides or is much smaller than w" rule picked TW=512
+    at w=1056 (pad to 1536, +45% splat work — measured 87.8 vs 77.0 ms
+    at 1184x1056/k21 on v5e, 2026-08-17)."""
+    best_wp, best_tw = None, 256
+    for tw in (512, 384, 256, 128):
+        wp = _round_up(w, tw)
+        if best_wp is None or wp < best_wp:
+            best_wp, best_tw = wp, tw
+    return best_tw
 
 
 def progressive_splat_fused_pallas(data, logits, sum_r, sum_w, max_w, *,
