@@ -169,9 +169,10 @@ def main():
 
         # Params are spatial-size independent; init on a tiny tile — a
         # full-size init runs the whole model eagerly (unfused) and can
-        # OOM the chip before the benchmark even starts.
+        # OOM the chip before the benchmark even starts. (64 px: KPCN's
+        # nine valid 5x5 convs consume a 36-px border.)
         def _tiny(s):
-            return s[:-2] + (min(s[-2], 32), min(s[-1], 32))
+            return s[:-2] + (min(s[-2], 64), min(s[-1], 64))
         params = model.init(jax.random.PRNGKey(0), {
             k: np.zeros(_tiny(v.shape), np.float32)
             for k, v in shapes.items()})

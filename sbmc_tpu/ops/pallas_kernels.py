@@ -128,7 +128,7 @@ def _kw_fwd_kernel(dp_ref, w_ref, out_ref, sw_ref, scratch, sem, *,
         scratch, sem)
     cp.start()
 
-    w = w_ref[0]  # (K2, TH, TW)
+    w = w_ref[0].astype(jnp.float32)  # (K2, TH, TW); f32 accumulation
     sw_ref[0] = jnp.sum(w, axis=0)
 
     cp.wait()
@@ -156,7 +156,8 @@ def kernel_weighting_fwd_pallas(data, weights, *, block_h=None, block_w=None,
     k2 = weights.shape[1]
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=3)
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=3,
+                          dtype=weights.dtype)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -184,7 +185,7 @@ def kernel_weighting_fwd_pallas(data, weights, *, block_h=None, block_w=None,
             jax.ShapeDtypeStruct((bs, hp, wp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, RH, RW), jnp.float32),
+            pltpu.VMEM((c, RH, RW), data.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -469,9 +470,10 @@ def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
     bs, k2, h, w = weights.shape
     K = _ksize(k2)
     o = (K - 1) // 2
-    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4)
+    dt = weights.dtype
+    TH, TW = _pick_blocks(h, w, block_h, block_w, k2=k2, streams=4, dtype=dt)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
-    RH = _round_up(TH + K - 1, 8)
+    RH = _round_up(TH + K - 1, 16 if dt == jnp.bfloat16 else 8)
     RW = _round_up(TW + K - 1, 128)
 
     wpad = _pad_halo(weights, o, hp, wp, RH, RW, TH, TW)
@@ -484,9 +486,9 @@ def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
         out_specs=pl.BlockSpec((1, k2, TH, TW),
                                lambda n, iy, ix: (n, 0, iy, ix),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bs, k2, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bs, k2, hp, wp), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, K, RH, RW), jnp.float32),
+            pltpu.VMEM((2, K, RH, RW), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -169,6 +169,36 @@ class TestTilesDataset:
             if isinstance(v, np.ndarray):
                 assert np.isfinite(v).all(), k
 
+    def test_kpcn_depth_scale_invariance(self, tmp_path, rng):
+        """The reference's PathKPCNIntegrator records *unnormalized*
+        distances (sbmc_pbrt.diff path_kpcn integrator) while our tracer
+        normalizes by 1/(10*scene_radius) at record time. KPCN
+        preprocessing divides depth by the per-tile max (and depth_v by
+        max^2, reference: sbmc/datasets.py:789-795), which cancels any
+        constant record-time scale exactly — so a dedicated
+        unnormalized-distance recording path would produce identical
+        model inputs. This test pins that equivalence."""
+        state = rng.get_state()
+        _write_scene(str(tmp_path), "a", rng)
+        rng2 = np.random.RandomState(0)
+        rng2.set_state(state)
+        sdir = _write_scene(str(tmp_path / "scaled"), "a", rng2)
+        i_df = bin_format.SAMPLE_FEATURE_LABELS.index("depth_first")
+        i_d = bin_format.SAMPLE_FEATURE_LABELS.index("depth")
+        for fn in sorted(os.listdir(sdir)):
+            path = os.path.join(sdir, fn)
+            t = bin_format.read_tile(path)
+            t.features[:, i_df] *= 120.0   # "unnormalized" distances
+            t.features[:, i_d] *= 120.0
+            bin_format.write_tile(path, t)
+        d1 = TilesDataset(str(tmp_path), spp=4, mode="kpcn")
+        d2 = TilesDataset(str(tmp_path / "scaled"), spp=4, mode="kpcn")
+        for k in ["kpcn_diffuse_in", "kpcn_specular_in",
+                  "kpcn_diffuse_buffer", "kpcn_specular_buffer",
+                  "kpcn_albedo"]:
+            np.testing.assert_allclose(d1[0][k], d2[0][k], rtol=2e-5,
+                                       atol=1e-6, err_msg=k)
+
     def test_spp_too_high_raises(self, tmp_path, rng):
         _write_scene(str(tmp_path), "s", rng)
         with pytest.raises(RuntimeError):

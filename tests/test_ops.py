@@ -259,6 +259,29 @@ def test_pallas_matches_oracle_fwd(k, rng):
     assert np.allclose(np.array(sw_x), np.array(sw_p), atol=1e-4)
 
 
+@pytest.mark.slow
+def test_pallas_bf16_weights_fwd(rng):
+    """bf16 weights with f32 data: the KPCN-inference path (conv chains emit
+    bf16 softmax kernels, buffers stay f32). The Pallas kernel accumulates
+    in f32; both outputs are f32."""
+    k, bs, c, h, w = 5, 1, 3, 20, 28
+    data = rng.randn(bs, c, h, w).astype(np.float32)
+    wts16 = jnp.array(rng.rand(bs, k * k, h, w).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    out_p, sw_p = ops.kernel_weighting(jnp.array(data), wts16,
+                                       backend="pallas_interpret")
+    out_x, sw_x = ops.kernel_weighting(jnp.array(data),
+                                       wts16.astype(jnp.float32),
+                                       backend="xla")
+    assert out_p.dtype == jnp.float32 and sw_p.dtype == jnp.float32
+    assert np.allclose(np.array(out_x), np.array(out_p), atol=1e-4)
+    assert np.allclose(np.array(sw_x), np.array(sw_p), atol=1e-4)
+    g_p = ops.scatter2gather(wts16, backend="pallas_interpret")
+    assert g_p.dtype == jnp.bfloat16
+    g_x = ops.scatter2gather(wts16.astype(jnp.float32), backend="xla")
+    assert np.allclose(np.array(g_p.astype(jnp.float32)), np.array(g_x))
+
+
 @pytest.mark.parametrize(
     "k", [3, pytest.param(21, marks=pytest.mark.slow)])
 def test_pallas_matches_oracle_s2g(k, rng):
