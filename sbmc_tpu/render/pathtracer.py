@@ -68,6 +68,9 @@ BT_SPECULAR = 1 << 4
 # Material classes (the reference's 7 scene-generator materials collapse
 # onto these scattering models: matte/uber -> diffuse, mirror -> mirror,
 # glass -> glass, metal -> metal, plastic/substrate -> plastic).
+#: Static count of procedural-envmap lobes (padded; zero color = off).
+N_ENV_LOBES = 4
+
 MAT_DIFFUSE = 0
 MAT_MIRROR = 1
 MAT_GLASS = 2
@@ -139,6 +142,16 @@ class TracerScene:
         default_factory=lambda: np.zeros(3))
     sun_exp: float = 200.0
     glass_ior: float = 1.5
+    #: Procedural environment lobes: up to ``N_ENV_LOBES`` cosine-power
+    #: blobs added to the gradient sky — the role of the reference's random
+    #: HDR envmaps (sbmc/scene_generator/randomizers.py random_envmap).
+    #: Rows beyond the count are zero-color (disabled).
+    env_dirs: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    env_colors: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3)))
+    env_exps: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,)))
 
     def _n_prims(self):
         return (self.centers.shape[0] + self.box_centers.shape[0]
@@ -168,6 +181,19 @@ class TracerScene:
         tex = (np.zeros(p) if self.tex_scale is None
                else fit(self.tex_scale, (p,)))
         zen = self.sky if self.sky_zenith is None else self.sky_zenith
+        # Environment lobes padded to a static count (jit cache key).
+        ed = np.asarray(self.env_dirs, np.float32).reshape(-1, 3)
+        ec = np.asarray(self.env_colors, np.float32).reshape(-1, 3)
+        ee = np.asarray(self.env_exps, np.float32).reshape(-1)
+        ed, ec, ee = ed[:N_ENV_LOBES], ec[:N_ENV_LOBES], ee[:N_ENV_LOBES]
+        ed = ed / np.maximum(np.linalg.norm(ed, axis=1, keepdims=True), 1e-8)
+        m = ed.shape[0]
+        if m < N_ENV_LOBES:
+            ed = np.concatenate([ed, np.zeros((N_ENV_LOBES - m, 3),
+                                              np.float32)])
+            ec = np.concatenate([ec, np.zeros((N_ENV_LOBES - m, 3),
+                                              np.float32)])
+            ee = np.concatenate([ee, np.ones(N_ENV_LOBES - m, np.float32)])
         # Column -> primitive-slot map for the concatenated hit candidates
         # (spheres, boxes, cylinders are their own slot; each triangle maps
         # to its mesh's slot).
@@ -208,6 +234,9 @@ class TracerScene:
             "sun_dir": jnp.asarray(self.sun_dir, jnp.float32),
             "sun_color": jnp.asarray(self.sun_color, jnp.float32),
             "sun_exp": jnp.float32(self.sun_exp),
+            "env_dirs": jnp.asarray(ed, jnp.float32),
+            "env_colors": jnp.asarray(ec, jnp.float32),
+            "env_exps": jnp.asarray(ee, jnp.float32),
             "glass_ior": jnp.float32(self.glass_ior),
             "fov": jnp.float32(self.fov),
             "aperture": jnp.float32(self.aperture),
@@ -279,6 +308,14 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
     sun = rng.normal(size=3)
     sun[1] = abs(sun[1]) + 0.3
     sun /= np.linalg.norm(sun)
+    # Procedural envmap: 1..N_ENV_LOBES colored blobs 60% of the time
+    # (reference: random envmap textures, scene_generator/randomizers.py).
+    n_lobes = rng.randint(1, N_ENV_LOBES + 1)
+    env_on = rng.rand() < 0.6
+    env_dirs = rng.normal(size=(n_lobes, 3))
+    env_dirs[:, 1] = np.abs(env_dirs[:, 1]) + 0.1
+    env_colors = rng.uniform(0.2, 2.5, (n_lobes, 3)) * env_on
+    env_exps = np.exp(rng.uniform(np.log(2.0), np.log(64.0), n_lobes))
 
     centers = np.stack([rng.uniform(-3, 3, n_spheres),
                         rng.uniform(0.4, 2.5, n_spheres),
@@ -361,6 +398,9 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
         sun_dir=sun,
         sun_color=rng.uniform(3, 30, 3) * sunny,
         sun_exp=float(rng.uniform(50, 500)),
+        env_dirs=env_dirs,
+        env_colors=env_colors,
+        env_exps=env_exps,
         fov=float(rng.uniform(25, 60)),
         aperture=(float(np.exp(rng.uniform(np.log(1e-3), np.log(0.05))))
                   if rng.rand() < 0.5 else 0.0),
@@ -702,12 +742,16 @@ def _light_pdf_towards(scn, p, d):
 
 
 def _sky_radiance(scn, d):
-    """Gradient sky + sun environment for escaping directions [N, 3]."""
+    """Gradient sky + sun + procedural envmap lobes for escaping
+    directions [N, 3] (lobes: cosine-power blobs, the role of the
+    reference's random HDR envmaps)."""
     h = jnp.clip(d[:, 1], 0.0, 1.0)[:, None]
     base = scn["sky"][None] * (1 - h) + scn["sky_zenith"][None] * h
     cos_sun = jnp.maximum(jnp.sum(d * scn["sun_dir"][None], -1), 0.0)
     sun = scn["sun_color"][None] * (cos_sun[:, None] ** scn["sun_exp"])
-    return base + sun
+    cos_l = jnp.maximum(d @ scn["env_dirs"].T, 0.0)       # [N, M]
+    lobes = (cos_l ** scn["env_exps"][None]) @ scn["env_colors"]
+    return base + sun + lobes
 
 
 def _power_w(pdf_a, pdf_b):

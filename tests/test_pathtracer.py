@@ -202,6 +202,32 @@ class TestExtendedPhysics:
 
         assert mean_radiance(sunny) > mean_radiance(base) + 1e-4
 
+    def test_env_lobes_add_directional_energy(self):
+        """Procedural envmap lobes (role of the reference's random HDR
+        envmaps): a lobe adds radiance along its direction, and a
+        lobe-free scene is bit-identical to the pre-envmap tracer."""
+        import jax.numpy as jnp
+        base = _simple_scene()
+        lit = _simple_scene()
+        lit.env_dirs = np.array([[1.0, 0.2, 0.0]])
+        lit.env_colors = np.array([[5.0, 0.0, 0.0]])
+        lit.env_exps = np.array([8.0])
+        sb, sl = base.as_jax(), lit.as_jax()
+        d_to = np.array([[1.0, 0.2, 0.0]], np.float32)
+        d_to /= np.linalg.norm(d_to)
+        d_away = -d_to
+        r_to = np.asarray(pathtracer._sky_radiance(sl, jnp.asarray(d_to)))
+        r_away = np.asarray(pathtracer._sky_radiance(sl,
+                                                     jnp.asarray(d_away)))
+        r_base = np.asarray(pathtracer._sky_radiance(sb, jnp.asarray(d_to)))
+        assert r_to[0, 0] > r_base[0, 0] + 1.0       # lobe color arrives
+        np.testing.assert_allclose(r_away, np.asarray(
+            pathtracer._sky_radiance(sb, jnp.asarray(d_away))), atol=1e-6)
+        # Disabled lobes (zero colors) change nothing anywhere.
+        np.testing.assert_allclose(
+            r_base, np.asarray(pathtracer._sky_radiance(
+                sb, jnp.asarray(d_to))), atol=0)
+
     def test_random_scene_material_mix(self):
         rng = np.random.RandomState(3)
         mats = np.concatenate([
