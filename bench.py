@@ -273,9 +273,15 @@ def main():
 _DEFAULT_LADDER = [((640, 2048), (50, 64)), ((1184, 1056), (52, 48)),
                    ((1216, 768), (68, 64)), (768, 64), (512, 64), (256, 64)]
 
+# KPCN's inputs are per-pixel (27ch, no per-sample stream), so a single
+# full-frame tile fits: zero overlap waste. Receptive field = 18 px conv
+# shrink + 10 px gather radius => 40-px pad is safe.
+_KPCN_LADDER = [((1160, 2000), (40, 40)), ((640, 2048), (40, 64)),
+                ((1184, 1056), (40, 48)), (768, 40), (512, 40), (256, 40)]
+
 
 if __name__ == "__main__":
     if TILE_SIZE:
         main()          # single rung (set by a user or by _ladder_main)
     else:
-        _ladder_main(_DEFAULT_LADDER)
+        _ladder_main(_KPCN_LADDER if MODEL == "kpcn" else _DEFAULT_LADDER)

@@ -59,6 +59,30 @@ class TestInterface:
         m = iface.eval_step(state.params, b)
         assert np.isfinite(float(m["loss"]))
 
+    def test_kpcn_train_step_decreases_loss(self, rng):
+        """The interface is model-agnostic: the KPCN baseline trains
+        through the same compiled step (reference: scripts/train.py
+        --kpcn_mode path)."""
+        from sbmc_tpu.models import KPCN
+        model = KPCN(depth=2, width=8, ksize=3)
+        h = w = 24
+        b = {
+            "kpcn_diffuse_in": rng.rand(1, 27, h, w).astype(np.float32),
+            "kpcn_specular_in": rng.rand(1, 27, h, w).astype(np.float32),
+            "kpcn_diffuse_buffer": rng.rand(1, 3, h, w).astype(np.float32),
+            "kpcn_specular_buffer": rng.rand(1, 3, h, w).astype(np.float32),
+            "kpcn_albedo": rng.rand(1, 3, h, w).astype(np.float32),
+            "target_image": rng.rand(1, 3, h, w).astype(np.float32),
+        }
+        iface = DenoiserInterface(model, lr=1e-2)
+        state = iface.init(jax.random.PRNGKey(0), b)
+        losses = []
+        for _ in range(8):
+            state, metrics = iface.train_step(state, b)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
     def test_alternative_losses(self, rng):
         for loss in ["relative_mse", "smape", "tonemapped_mse"]:
             iface = _small_interface()
