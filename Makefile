@@ -6,7 +6,7 @@ CKPT_DIR ?= /tmp/sbmc_tpu_demo/ckpt
 OUT_DIR  ?= /tmp/sbmc_tpu_demo/output
 
 .PHONY: test test-fast test-slow demo/data demo/train demo/denoise demo/eval \
-	demo bench
+	demo/visualize demo/train_kpcn demo/comparisons demo bench
 
 # Default suite: everything except interpret-mode Pallas runs (those are
 # orders of magnitude slower than the oracle off-TPU; run `make test-slow`
@@ -52,6 +52,28 @@ demo/eval:
 	python scripts/compute_metrics.py $(OUT_DIR)/ref /tmp/sbmc_tpu_demo/scores.csv \
 	  --methods $(OUT_DIR)/4spp_ours --scenes scene_0000.exr --pad 4 \
 	  --stats /tmp/sbmc_tpu_demo/stats.csv
+
+# Dump target/low-spp PNGs (+ per-feature channels) from the demo data
+# (reference: Makefile demo/visualize).
+demo/visualize:
+	python scripts/visualize_dataset.py $(DATA_DIR)/test \
+	  $(OUT_DIR)/viz --spp 4 --dump_features
+
+# Train the KPCN baseline briefly (reference: Makefile demo/train_kpcn).
+demo/train_kpcn:
+	python scripts/train.py $(DATA_DIR)/train $(CKPT_DIR)_kpcn \
+	  --kpcn_mode --spp 8 --bs 1 --max_steps 50 --log_interval 10 \
+	  --checkpoint_interval 25
+
+# Run the native classical baselines on the held-out scene (reference:
+# Makefile demo/comparisons, minus the dockerized external builds).
+demo/comparisons:
+	python scripts/denoise_baselines.py --input $(DATA_DIR)/test \
+	  --output $(OUT_DIR)/4spp_nlm/scene_0000.exr --method nlm --spp 4
+	python scripts/denoise_baselines.py --input $(DATA_DIR)/test \
+	  --output $(OUT_DIR)/4spp_rpf/scene_0000.exr --method rpf --spp 4
+	python scripts/denoise_baselines.py --input $(DATA_DIR)/test \
+	  --output $(OUT_DIR)/4spp_nfor/scene_0000.exr --method nfor --spp 4
 
 demo: demo/data demo/train demo/denoise demo/eval
 

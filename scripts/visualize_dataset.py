@@ -16,11 +16,16 @@ honor_env_platform()
 
 
 def _save(outdir, name, im, dtype=np.uint8):
-    """Tonemap + gamma and write a PNG (uint8 or uint16)."""
+    """Clip to [0,1] and write a PNG (uint8; uint16 for single-channel —
+    the PIL backend cannot encode multi-channel 16-bit PNGs)."""
     import imageio.v2 as imageio
     im = np.asarray(im)
     if im.ndim == 3:  # [c, h, w] -> [h, w, c]
         im = im.transpose(1, 2, 0)
+        if im.shape[-1] == 1:
+            im = im[..., 0]
+    if im.ndim == 3 and dtype != np.uint8:
+        dtype = np.uint8
     im = np.clip(im, 0, 1)
     maxval = np.iinfo(dtype).max
     os.makedirs(outdir, exist_ok=True)
