@@ -20,3 +20,5 @@ from sbmc_tpu.scene_generator.converters import (  # noqa: F401
     ObjConverter, OBJMaterial, PBRTObject)
 from sbmc_tpu.scene_generator.generators import (  # noqa: F401
     OutdoorSceneGenerator, poisson_disc_samples)
+from sbmc_tpu.scene_generator.suncg import (  # noqa: F401
+    SunCGConverter, SunCGSceneGenerator, InvalidSunCGSceneError)

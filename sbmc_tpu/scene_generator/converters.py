@@ -46,11 +46,30 @@ class OBJMaterial:
 
 
 class PBRTObject:
-    """A per-material-group geometry file plus its parsed material."""
+    """A per-material-group geometry file plus its parsed material.
 
-    def __init__(self, path, material):
+    ``name`` is the ``# Name "<geom>@<mat>"`` comment ``obj2pbrt`` carries
+    through from the tagged .obj groups; :attr:`geom_name` /
+    :attr:`material_group` are its two halves (the SunCG converter
+    categorizes objects by them, reference suncg.py:124-186)."""
+
+    def __init__(self, path, material, name=None):
         self.path = path
         self.material = material
+        self.name = name
+
+    def _name_parts(self):
+        if self.name and "@" in self.name:
+            return self.name.split("@", 1)
+        return (self.name, None)
+
+    @property
+    def geom_name(self):
+        return self._name_parts()[0]
+
+    @property
+    def material_group(self):
+        return self._name_parts()[1]
 
 
 def _tag_material_groups(src, dst):
@@ -79,7 +98,9 @@ def _split_pbrt_objects(in_f):
     with open(in_f) as fid:
         line = fid.readline()
         while line:
-            if _NAME_RE.match(line):
+            name_match = _NAME_RE.match(line)
+            if name_match:
+                name = name_match.group("obj_name")
                 while not (line.startswith("Material")
                            or line.startswith("Shape")):
                     line = fid.readline()
@@ -98,7 +119,7 @@ def _split_pbrt_objects(in_f):
                         out.write(line)
                         line = fid.readline()
                     out.write(line)
-                objects.append(PBRTObject(new_f, mat))
+                objects.append(PBRTObject(new_f, mat, name=name))
             line = fid.readline()
     return objects
 

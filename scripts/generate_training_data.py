@@ -82,8 +82,17 @@ class GeneratorParams:
             cls = getattr(scenegen, name, None)
             if cls is None:
                 raise RuntimeError("Unknown generator `%s`" % name)
+            extra = ()
+            if cls is scenegen.SunCGSceneGenerator:
+                # Legacy indoor generator; needs the (withdrawn) SunCG
+                # distribution on disk (reference keeps this disabled,
+                # scripts/generate_training_data.py:99-103).
+                if not getattr(args, "suncg_root", None):
+                    raise RuntimeError(
+                        "SunCGSceneGenerator requires --suncg_root")
+                extra = (os.path.abspath(args.suncg_root),)
             self.gen.append(cls(self.envmaps, self.textures, self.models,
-                                self.converter))
+                                self.converter, *extra))
 
     @staticmethod
     def _filelist(listpath):
@@ -262,6 +271,9 @@ if __name__ == "__main__":
     parser.add_argument("--verbose", action="store_true", default=False)
     parser.add_argument("--generators", nargs="+",
                         default=["OutdoorSceneGenerator"])
+    parser.add_argument("--suncg_root", type=str, default=None,
+                        help="root of a SunCG distribution (only needed "
+                        "for the legacy SunCGSceneGenerator).")
     parser.add_argument("--spp", type=int, default=32)
     parser.add_argument("--gt_spp", type=int, default=512)
     parser.add_argument("--width", type=int, default=512)

@@ -513,3 +513,141 @@ class TestComparisonBaselines:
                                   **kw)
             assert out.shape == (3, 16, 16)
             assert np.isfinite(out).all()
+
+
+class TestSunCG:
+    """Functional checks of the legacy SunCG generator against a synthetic
+    miniature SunCG tree (the dataset itself is no longer distributed)."""
+
+    IDENTITY = [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1]
+
+    def _make_root(self, tmp_path):
+        root = tmp_path / "suncg"
+        (root / "house" / "house0").mkdir(parents=True)
+        (root / "cameras" / "house0").mkdir(parents=True)
+        (root / "room" / "house0").mkdir(parents=True)
+        (root / "pbrs" / "util_data").mkdir(parents=True)
+        (root / "project_ids.txt").write_text("house0\n")
+
+        house = {"levels": [{"nodes": [
+            {"type": "Room", "id": "0_0", "modelId": "rm",
+             "nodeIndices": [1, 2, 3],
+             "bbox": {"min": [0, 0, 0], "max": [4, 3, 4]}, "valid": 1},
+            {"type": "Object", "modelId": "chair1", "valid": 1,
+             "transform": self.IDENTITY},
+            {"type": "Object", "modelId": "lamp1", "valid": 1,
+             "transform": self.IDENTITY},
+            {"type": "Object", "modelId": "broken", "valid": 0},
+        ]}]}
+        import json
+        (root / "house" / "house0" / "house.json").write_text(
+            json.dumps(house))
+
+        for ext in "cfw":
+            (root / "room" / "house0" / ("rm%s.obj" % ext)).write_text("")
+
+        cams = root / "cameras" / "house0"
+        (cams / "room_camera.txt").write_text(
+            "1 1.5 1 0 0 1 0 1 0\n9 9 9 1 0 0 0 1 0\n")
+        (cams / "room_camera_good.txt").write_text("1\n\n")
+        (cams / "room_camera_name.txt").write_text(
+            "house0#0_0_0\nhouse0#0_1_0\n")
+
+        (root / "pbrs" / "util_data"
+         / "ModelCategoryMappingNewActive.csv").write_text(
+            "model_id,fine_grained_class,coarse_grained_class,nyuv2_40class\n"
+            "window1,window,,\n"
+            "door1,,door,\n"
+            "mirror1,mirror,,\n"
+            "plant1,plant,,\n"
+            "chair1,chair,furniture,chair\n")
+        (root / "pbrs" / "util_data"
+         / "light_geometry_compact.txt").write_text(
+            "lamp1 1 bulbmat 1 shademat\n")
+        return str(root)
+
+    class _FakeConverter:
+        """Stands in for ObjConverter: emits one PBRTObject per material
+        group without running obj2pbrt."""
+
+        GROUPS = {"lamp1": ["bulbmat", "shademat"]}
+
+        def __call__(self, fname, dst):
+            import os
+            from sbmc_tpu import scene_generator as sg
+            stem = os.path.splitext(os.path.basename(fname))[0]
+            out = []
+            for mat in self.GROUPS.get(stem, ["mat0"]):
+                out.append(sg.PBRTObject(
+                    "%s_%s.pbrt" % (stem, mat), sg.OBJMaterial(""),
+                    name="%s@%s" % (stem, mat)))
+            return out
+
+    def _make_gen(self, tmp_path):
+        from sbmc_tpu import scene_generator as sg
+        root = self._make_root(tmp_path)
+        gen = sg.SunCGSceneGenerator(
+            ["env.pfm"], None, ["prop.obj"], "obj2pbrt", root)
+        gen._converter = self._FakeConverter()
+        gen._suncg._convert = gen._converter
+        return gen
+
+    def test_converter_tables(self, tmp_path):
+        gen = self._make_gen(tmp_path)
+        c = gen._suncg
+        assert c.plist == ["house0"]
+        assert "window1" in c.classes["transparent"]
+        assert "door1" in c.classes["transparent"]
+        assert "mirror1" in c.classes["mirror"]
+        assert "plant1" in c.classes["remove"]
+        assert c.get_obj_category("window1", "anything") == "transparent"
+        assert c.get_obj_category("lamp1", "bulbmat") == "light_bulb"
+        assert c.get_obj_category("lamp1", "shademat") == "light_shade"
+        assert c.get_obj_category("chair1", "mat0") == "shape"
+
+    def test_cameras_for_scene(self, tmp_path):
+        gen = self._make_gen(tmp_path)
+        cams = gen._suncg.cameras_for_scene("house0")
+        assert len(cams) == 1  # second camera filtered by the good flags
+        assert cams[0]["room"] == "0_0"
+        assert cams[0]["camera"][:3] == [1.0, 1.5, 1.0]
+
+    def test_sample_builds_scene(self, tmp_path):
+        import numpy as np
+        from sbmc_tpu import scene_generator as sg
+        gen = self._make_gen(tmp_path)
+        np.random.seed(0)
+        ok = False
+        for _ in range(20):
+            scn = sg.Scene(renderer=sg.Renderer(spp=2, gt_spp=4))
+            if gen.sample(scn, str(tmp_path / "scene")):
+                ok = True
+                break
+        assert ok
+        out = scn.pbrt()
+        # The lamp bulb is an area light; its shade is dropped.
+        assert 'AreaLightSource "diffuse"' in out
+        assert "shademat" not in out
+        assert scn.camera is not None
+        assert 35 <= scn.camera.fov <= 60
+        # Room architecture (c/f/w) and the chair made it in as shapes.
+        for stem in ("rmc", "rmf", "rmw", "chair1"):
+            assert any(stem in s.pbrt() for s in scn.shapes), stem
+
+    def test_no_light_scene_is_invalid(self, tmp_path):
+        """A house whose room has no lamp and no window yields False
+        under every window treatment (no light source)."""
+        import numpy as np
+        from sbmc_tpu import scene_generator as sg
+        gen = self._make_gen(tmp_path)
+        # Drop the lamp: only the room + chair remain.
+        gen._suncg.light_materials = {"models": [], "bulbs": [], "shades": []}
+        house_f = (tmp_path / "suncg" / "house" / "house0" / "house.json")
+        import json
+        house = json.loads(house_f.read_text())
+        house["levels"][0]["nodes"][0]["nodeIndices"] = [1]
+        house_f.write_text(json.dumps(house))
+        np.random.seed(1)
+        for _ in range(10):
+            scn = sg.Scene(renderer=sg.Renderer(spp=2, gt_spp=4))
+            assert not gen.sample(scn, str(tmp_path / "scene"))
