@@ -1,0 +1,194 @@
+"""Full-model numerical cross-validation against the reference itself.
+
+The reference implementation (/root/reference, torch) is importable on
+this host once its two unavailable dependencies are stubbed:
+
+- ``ttools``: only ``get_logger`` and ``crop_like`` are used by the model
+  stack (reference sbmc/modules.py:25, sbmc/models.py:27);
+- ``sbmc.halide_ops``: the compiled Halide extension. Its two forward
+  entry points are implemented here in numpy via this repo's pure-jnp
+  oracle (sbmc_tpu/ops/reference.py), which the op-level tests validate
+  against the Halide algorithm's impulse/adjoint semantics.
+
+With those in place, we instantiate the *reference's own* ``Multisteps``
+and ``KPCN`` classes, convert their randomly-initialized ``state_dict``
+through ``torch_state_dict_to_flax``, and assert the flax models produce
+the same forward output — end-to-end parity of the conv stacks,
+weight-norm parameterization, online-softmax accumulation, tap ordering
+and crop bookkeeping. This is the checkpoint-migration path
+(scripts/convert_checkpoint.py) exercised against the genuine source
+model graph (the released pretrained weights themselves are not
+downloadable from this host, see PARITY.md).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_ttools_stub():
+    if "ttools" in sys.modules:
+        return
+    import logging
+
+    ttools = types.ModuleType("ttools")
+    ttools.get_logger = logging.getLogger
+    ttools.set_logger = lambda *a, **k: None
+    mods = types.ModuleType("ttools.modules")
+    imgops = types.ModuleType("ttools.modules.image_operators")
+
+    def crop_like(src, tgt):
+        sh, sw = src.shape[-2], src.shape[-1]
+        th_, tw_ = tgt.shape[-2], tgt.shape[-1]
+        if (sh, sw) == (th_, tw_):
+            return src
+        dy, dx = (sh - th_) // 2, (sw - tw_) // 2
+        return src[..., dy:dy + th_, dx:dx + tw_]
+
+    imgops.crop_like = crop_like
+    mods.image_operators = imgops
+    ttools.modules = mods
+    sys.modules["ttools"] = ttools
+    sys.modules["ttools.modules"] = mods
+    sys.modules["ttools.modules.image_operators"] = imgops
+
+
+def _install_halide_stub():
+    """Torch-facing fakes of the Halide ops, backed by the jnp oracle.
+
+    Signatures mirror the generated pytorch wrappers (reference
+    sbmc/functions.py:52-120): output buffers are passed in and filled."""
+    if "sbmc.halide_ops" in sys.modules:
+        return
+    from sbmc_tpu.ops.reference import (kernel_weighting_ref,
+                                        scatter2gather_ref)
+
+    ops = types.ModuleType("sbmc.halide_ops")
+
+    def scatter2gather_cpu_float32(data, output):
+        bs, kh, kw, h, w = data.shape
+        out = scatter2gather_ref(
+            np.asarray(data.detach()).reshape(bs, kh * kw, h, w))
+        output.copy_(torch.from_numpy(
+            np.asarray(out).reshape(bs, kh, kw, h, w)))
+
+    def kernel_weighting_cpu_float32(data, weights, output, sum_w):
+        bs, kh, kw, h, w = weights.shape
+        out, sw = kernel_weighting_ref(
+            np.asarray(data.detach()),
+            np.asarray(weights.detach()).reshape(bs, kh * kw, h, w))
+        output.copy_(torch.from_numpy(np.asarray(out)))
+        sum_w.copy_(torch.from_numpy(np.asarray(sw)))
+
+    ops.scatter2gather_cpu_float32 = scatter2gather_cpu_float32
+    ops.kernel_weighting_cpu_float32 = kernel_weighting_cpu_float32
+    sys.modules["sbmc.halide_ops"] = ops
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """The reference's models module, imported without its package
+    __init__ (which needs lz4) and with the stubs above installed."""
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "sbmc")):
+        pytest.skip("reference checkout not available")
+    _install_ttools_stub()
+    pkg = types.ModuleType("sbmc")
+    pkg.__path__ = [os.path.join(REFERENCE_ROOT, "sbmc")]
+    sys.modules.setdefault("sbmc", pkg)
+    _install_halide_stub()
+    import importlib
+    return importlib.import_module("sbmc.models")
+
+
+def _to_flax(ref_model, our_model, example):
+    import jax
+    from sbmc_tpu.train.convert import torch_state_dict_to_flax
+    template = our_model.init(jax.random.PRNGKey(0), example)
+    state = {k: v.detach().numpy()
+             for k, v in ref_model.state_dict().items()}
+    return torch_state_dict_to_flax(state, template=template)
+
+
+class TestReferenceParity:
+    def test_multisteps_forward_matches_reference(self, ref_models):
+        from sbmc_tpu import ops
+        from sbmc_tpu.models import Multisteps
+        ops.set_backend("xla")
+
+        nf, ngf, spp, h, w = 7, 3, 3, 32, 32
+        kw = dict(n_features=nf, n_global_features=ngf, width=8,
+                  embedding_width=8, ksize=5, nsteps=2)
+        torch.manual_seed(0)
+        ref = ref_models.Multisteps(**kw)
+        rng = np.random.RandomState(1)
+        batch = {
+            "radiance": rng.rand(1, spp, 3, h, w).astype(np.float32),
+            "features": rng.rand(1, spp, nf, h, w).astype(np.float32),
+            "global_features": rng.rand(1, ngf, 1, 1).astype(np.float32),
+        }
+        with torch.no_grad():
+            ref_out = ref({k: torch.from_numpy(v)
+                           for k, v in batch.items()})["radiance"].numpy()
+
+        ours = Multisteps(**kw)
+        params = _to_flax(ref, ours, batch)
+        our_out = np.asarray(ours.apply(params, batch)["radiance"])
+
+        assert our_out.shape == ref_out.shape
+        np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
+
+    def test_multisteps_gather_ablation_matches_reference(self, ref_models):
+        from sbmc_tpu import ops
+        from sbmc_tpu.models import Multisteps
+        ops.set_backend("xla")
+
+        nf, ngf, spp, h, w = 5, 2, 2, 32, 32
+        kw = dict(n_features=nf, n_global_features=ngf, width=8,
+                  embedding_width=8, ksize=5, nsteps=1, splat=False)
+        torch.manual_seed(2)
+        ref = ref_models.Multisteps(**kw)
+        rng = np.random.RandomState(3)
+        batch = {
+            "radiance": rng.rand(1, spp, 3, h, w).astype(np.float32),
+            "features": rng.rand(1, spp, nf, h, w).astype(np.float32),
+            "global_features": rng.rand(1, ngf, 1, 1).astype(np.float32),
+        }
+        with torch.no_grad():
+            ref_out = ref({k: torch.from_numpy(v)
+                           for k, v in batch.items()})["radiance"].numpy()
+        ours = Multisteps(**kw)
+        params = _to_flax(ref, ours, batch)
+        our_out = np.asarray(ours.apply(params, batch)["radiance"])
+        np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
+
+    def test_kpcn_forward_matches_reference(self, ref_models):
+        from sbmc_tpu import ops
+        from sbmc_tpu.models import KPCN
+        ops.set_backend("xla")
+
+        h, w = 40, 40
+        torch.manual_seed(4)
+        ref = ref_models.KPCN(27, ksize=5, depth=3, width=16)
+        rng = np.random.RandomState(5)
+        batch = {
+            "kpcn_diffuse_in": rng.rand(1, 27, h, w).astype(np.float32),
+            "kpcn_specular_in": rng.rand(1, 27, h, w).astype(np.float32),
+            "kpcn_diffuse_buffer": rng.rand(1, 3, h, w).astype(np.float32),
+            "kpcn_specular_buffer": rng.rand(1, 3, h, w).astype(np.float32),
+            "kpcn_albedo": rng.rand(1, 3, h, w).astype(np.float32),
+        }
+        with torch.no_grad():
+            ref_out = ref({k: torch.from_numpy(v)
+                           for k, v in batch.items()})["radiance"].numpy()
+        ours = KPCN(n_in=27, ksize=5, depth=3, width=16)
+        params = _to_flax(ref, ours, batch)
+        our_out = np.asarray(ours.apply(params, batch)["radiance"])
+        assert our_out.shape == ref_out.shape
+        np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
