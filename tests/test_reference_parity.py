@@ -192,3 +192,66 @@ class TestReferenceParity:
         our_out = np.asarray(ours.apply(params, batch)["radiance"])
         assert our_out.shape == ref_out.shape
         np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=1e-5)
+
+
+class TestReferenceLossParity:
+    """The four training losses evaluated against the reference's own
+    torch implementations on random tensors."""
+
+    CASES = [("RelativeMSE", "relative_mse"),
+             ("SMAPE", "smape"),
+             ("TonemappedMSE", "tonemapped_mse"),
+             ("TonemappedRelativeMSE", "tonemapped_relative_mse")]
+
+    def test_losses_match_reference(self, ref_models):
+        import importlib
+        from sbmc_tpu import losses as ours
+        ref_losses = importlib.import_module("sbmc.losses")
+        rng = np.random.RandomState(7)
+        im = rng.rand(2, 3, 9, 9).astype(np.float32)
+        ref = rng.rand(2, 3, 9, 9).astype(np.float32)
+        for torch_name, our_name in self.CASES:
+            with torch.no_grad():
+                want = float(getattr(ref_losses, torch_name)()(
+                    torch.from_numpy(im), torch.from_numpy(ref)))
+            got = float(getattr(ours, our_name)(im, ref))
+            np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=our_name)
+
+
+class TestReferenceModuleParity:
+    """Module-level cross-checks of ConvChain/Autoencoder/progressive
+    accumulation against the reference's torch implementations."""
+
+    def test_progressive_apply_matches_reference(self, ref_models):
+        """ProgressiveKernelApply from a non-trivial running state."""
+        import importlib
+        from sbmc_tpu import ops
+        from sbmc_tpu.nn.kernel_apply import (progressive_init,
+                                              progressive_kernel_apply)
+        ops.set_backend("xla")
+        ref_modules = importlib.import_module("sbmc.modules")
+        k, h, w, c = 5, 12, 12, 3
+        rng = np.random.RandomState(11)
+        apply_ref = ref_modules.ProgressiveKernelApply(splat=True)
+        state_t = (None, None, None)
+        state_j = progressive_init(1, c, h, w)
+        for _ in range(3):
+            data = rng.rand(1, c, h, w).astype(np.float32)
+            logits = rng.randn(1, k * k, h, w).astype(np.float32) * 3
+            with torch.no_grad():
+                # clone: the reference mutates kernels in place (sub_/exp_)
+                state_t = apply_ref(
+                    torch.from_numpy(data),
+                    torch.from_numpy(logits).clone(),
+                    *state_t)
+            state_j = progressive_kernel_apply(data, logits, state_j,
+                                               splat=True)
+        np.testing.assert_allclose(
+            np.asarray(state_j.sum_r), state_t[0].numpy(),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(state_j.sum_w), state_t[1].numpy(),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(state_j.max_w), state_t[2].numpy(),
+            rtol=1e-5, atol=1e-6)
