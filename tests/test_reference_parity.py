@@ -255,3 +255,70 @@ class TestReferenceModuleParity:
         np.testing.assert_allclose(
             np.asarray(state_j.max_w), state_t[2].numpy(),
             rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_datasets(ref_models):
+    """The reference's dataset reader, with its ``lz4.frame`` dependency
+    backed by this repo's ctypes liblz4 binding."""
+    if "lz4" not in sys.modules:
+        from sbmc_tpu.data import lz4f
+        lz4 = types.ModuleType("lz4")
+        frame = types.ModuleType("lz4.frame")
+        frame.decompress = lz4f.decompress
+        frame.compress = lz4f.compress
+        lz4.frame = frame
+        sys.modules["lz4"] = lz4
+        sys.modules["lz4.frame"] = frame
+    import importlib
+    return importlib.import_module("sbmc.datasets")
+
+
+class TestReferenceDataParity:
+    """Byte-level + preprocessing cross-validation: .bin tiles written by
+    this repo are read by the REFERENCE's own TilesDataset and must produce
+    the same tensors as this repo's reader, in every mode."""
+
+    @pytest.fixture(scope="class")
+    def dataset_dir(self, tmp_path_factory):
+        from sbmc_tpu.data.synthetic import generate_dataset
+        path = tmp_path_factory.mktemp("bins")
+        generate_dataset(str(path), n_scenes=2, ts=16, tiles_per_side=2,
+                         spp=4, gt_spp=8, seed=0)
+        return str(path)
+
+    def _compare(self, ref_d, our_d):
+        assert len(ref_d) == len(our_d)
+        assert list(ref_d.labels) == list(our_d.labels)
+        for idx in range(len(ref_d)):
+            want = ref_d[idx]
+            got = our_d[idx]
+            for key, val in want.items():
+                if not isinstance(val, np.ndarray):
+                    continue
+                assert key in got, key
+                np.testing.assert_allclose(
+                    np.asarray(got[key], np.float32), val.astype(np.float32),
+                    rtol=1e-6, atol=1e-7, err_msg=key)
+
+    def test_sbmc_mode_matches_reference(self, ref_datasets, dataset_dir):
+        from sbmc_tpu.data import TilesDataset
+        self._compare(ref_datasets.TilesDataset(dataset_dir, spp=4),
+                      TilesDataset(dataset_dir, spp=4))
+
+    def test_kpcn_mode_matches_reference(self, ref_datasets, dataset_dir):
+        from sbmc_tpu.data import TilesDataset
+        self._compare(
+            ref_datasets.TilesDataset(dataset_dir, spp=4, mode="kpcn"),
+            TilesDataset(dataset_dir, spp=4, mode=TilesDataset.KPCN_MODE))
+
+    def test_raw_mode_matches_reference(self, ref_datasets, dataset_dir):
+        from sbmc_tpu.data import TilesDataset
+        self._compare(
+            ref_datasets.TilesDataset(dataset_dir, spp=4, mode="raw"),
+            TilesDataset(dataset_dir, spp=4, mode=TilesDataset.RAW_MODE))
+
+    def test_reduced_spp_matches_reference(self, ref_datasets, dataset_dir):
+        from sbmc_tpu.data import TilesDataset
+        self._compare(ref_datasets.TilesDataset(dataset_dir, spp=2),
+                      TilesDataset(dataset_dir, spp=2))
