@@ -322,3 +322,130 @@ class TestReferenceDataParity:
         from sbmc_tpu.data import TilesDataset
         self._compare(ref_datasets.TilesDataset(dataset_dir, spp=2),
                       TilesDataset(dataset_dir, spp=2))
+
+
+@pytest.fixture(scope="module")
+def ref_scenegen(ref_models):
+    """The reference's scene_generator package (``bridson`` backed by this
+    repo's own Poisson-disc sampler)."""
+    if "bridson" not in sys.modules:
+        from sbmc_tpu.scene_generator import poisson_disc_samples
+        br = types.ModuleType("bridson")
+        br.poisson_disc_samples = poisson_disc_samples
+        sys.modules["bridson"] = br
+    import importlib
+    pkg = importlib.import_module("sbmc.scene_generator")
+    pkg.textures = importlib.import_module("sbmc.scene_generator.textures")
+    return pkg
+
+
+def _norm(s):
+    """Whitespace-normalize a pbrt scene string (token-stream equality is
+    what the pbrt lexer sees; brackets are self-delimiting tokens — the
+    reference omits a newline between a texture's suffix and the following
+    directive, which pbrt parses identically)."""
+    return " ".join(s.replace("[", " [ ").replace("]", " ] ").split())
+
+
+class TestReferenceScenePbrtParity:
+    """The pbrt scene-description strings this repo emits are token-for-
+    token what the reference emits — the exact byte stream the external
+    instrumented PBRT binary consumes."""
+
+    def test_materials_match_reference(self, ref_scenegen):
+        import sbmc_tpu.scene_generator as osg
+        cases = [
+            ("MatteMaterial", dict(id="m", diffuse=[0.3, 0.4, 0.5])),
+            ("UberMaterial", dict(id="u", diffuse=[0.1, 0.2, 0.3],
+                                  glossy_reflection=0.5,
+                                  specular_reflection=0.25, roughness=0.7,
+                                  index=1.3, opacity=0.8)),
+            ("MirrorMaterial", dict(id="mi", specular=[0.9, 0.8, 0.7])),
+            ("GlassMaterial", dict(id="g", reflection=[1, 1, 1],
+                                   transmission=[0.9, 0.9, 0.9], index=1.4)),
+            ("MetalMaterial", dict(id="me", eta=[0.2, 0.9, 1.4],
+                                   k=[3.9, 2.4, 2.1], roughness=0.05)),
+            ("PlasticMaterial", dict(id="p", diffuse=[0.4, 0.1, 0.1],
+                                     specular=[0.6, 0.6, 0.6],
+                                     roughness=0.02)),
+            ("SubstrateMaterial", dict(id="s", diffuse=[0.2, 0.3, 0.1],
+                                       specular=[0.5, 0.5, 0.5],
+                                       uroughness=0.2, vroughness=0.3)),
+        ]
+        for name, kwargs in cases:
+            want = getattr(ref_scenegen, name)(**kwargs).pbrt()
+            got = getattr(osg, name)(**kwargs).pbrt()
+            assert _norm(got) == _norm(want), name
+
+    def test_textured_material_matches_reference(self, ref_scenegen):
+        import sbmc_tpu.scene_generator as osg
+        tex_kw = dict(gamma=2.2, scale=1.5, uscale=3.0, vscale=4.0,
+                      udelta=0.1, vdelta=0.2)
+        want = ref_scenegen.MatteMaterial(
+            id="m", diffuse_texture=ref_scenegen.textures.Imagemap(
+                "t0", "spectrum", "wood.tga", **tex_kw)).pbrt()
+        got = osg.MatteMaterial(
+            id="m", diffuse_texture=osg.Imagemap(
+                "t0", "spectrum", "wood.tga", **tex_kw)).pbrt()
+        assert _norm(got) == _norm(want)
+
+    def test_lights_match_reference(self, ref_scenegen):
+        import sbmc_tpu.scene_generator as osg
+        for build in (
+            lambda sg: sg.PointLight(spectrum=[10, 20, 30]),
+            lambda sg: sg.InifiniteLight(mapname="sky.pfm", nsamples=4),
+            lambda sg: sg.InifiniteLight(spectrum=[1, 2, 3]),
+            lambda sg: sg.AreaLight(sg.Sphere(0.5), spectrum=[5, 5, 5],
+                                    nsamples=2),
+        ):
+            assert _norm(build(osg).pbrt()) == _norm(build(ref_scenegen).pbrt())
+
+    def test_geometry_and_xforms_match_reference(self, ref_scenegen):
+        import sbmc_tpu.scene_generator as osg
+
+        def build(sg):
+            s = sg.Sphere(2.0)
+            sg.translate(s, [0, 0, 1])
+            sg.rotate(s, [0, 1, 0], 45)
+            sg.scale(s, [2, 2, 2])
+            sg.translate(s, [0.5, 0, 0], target="end")  # motion blur
+            return s
+
+        assert _norm(build(osg).pbrt()) == _norm(build(ref_scenegen).pbrt())
+
+        def build_ext(sg):
+            g = sg.ExternalGeometry("geometry/obj0.pbrt")
+            sg.transform(g, list(range(16)))
+            return g
+
+        assert _norm(build_ext(osg).pbrt()) == \
+            _norm(build_ext(ref_scenegen).pbrt())
+
+    def test_renderer_headers_match_reference(self, ref_scenegen):
+        import sbmc_tpu.scene_generator as osg
+        for kw in (
+            dict(spp=4, gt_spp=64, tile_size=128, width=256, height=128),
+            dict(integrator="path", spp=8, path_depth=3, width=64,
+                 height=64, pixel_filter="box", sampler="lowdiscrepancy"),
+        ):
+            assert _norm(osg.Renderer(**kw).pbrt()) == \
+                _norm(ref_scenegen.Renderer(**kw).pbrt())
+
+    def test_full_scene_matches_reference(self, ref_scenegen):
+        import sbmc_tpu.scene_generator as osg
+
+        def build(sg):
+            scn = sg.Scene(renderer=sg.Renderer(spp=2, gt_spp=8))
+            scn.camera = sg.Camera(position=[0, 1, 2], target=[0, 0, 0],
+                                   up=[0, 1, 0], fov=40, lensradius=0.01,
+                                   focaldistance=2.5)
+            scn.lights.append(sg.PointLight(spectrum=[9, 9, 9]))
+            m = sg.MatteMaterial(id="m", diffuse=[0.5, 0.5, 0.5])
+            scn.materials.append(m)
+            sphere = sg.Sphere(1.0)
+            sphere.material = m
+            sg.translate(sphere, [0, 0, -2])
+            scn.shapes.append(sphere)
+            return scn.pbrt()
+
+        assert _norm(build(osg)) == _norm(build(ref_scenegen))
