@@ -223,8 +223,9 @@ def main():
     if isinstance(TILE_SIZE, tuple):
         pad = TILE_PAD or (TILE_SIZE[0] // 4, TILE_SIZE[1] // 4)
     else:
-        pad = TILE_PAD or TILE_SIZE // 4
-        pad = min(pad, TILE_SIZE // 4)
+        # Only the DERIVED default is clamped; an explicit SBMC_BENCH_PAD
+        # is honored as-is (e.g. a 44-px receptive-field pad on a 160 tile).
+        pad = TILE_PAD if TILE_PAD else TILE_SIZE // 4
     # Clamp oversized rungs to the padded frame (a 1216x768 strip on a
     # small smoke-test frame would otherwise compute a mostly-zero giant
     # tile); at 1080p the default strip is exactly 1080 + 2*68 so this is

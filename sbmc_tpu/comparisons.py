@@ -103,31 +103,12 @@ def nlm_denoise(buf_a, buf_b, var, patch_r=3, window_r=7, k=0.45,
       ``[c, h, w]`` denoised image (average of the two cross-filtered
       half buffers).
     """
-    eps = 1e-10
-
-    def filter_one(src, guide):
-        """Filter ``src`` with weights measured on ``guide`` (cross
-        filtering decorrelates the weights from the noise being averaged).
-        """
-        def offset(carry, i):
-            acc, wsum = carry
-            dy, dx = i // (2 * window_r + 1), i % (2 * window_r + 1)
-            g_q = _shifted(guide, dy, dx, window_r)
-            v_q = _shifted(var, dy, dx, window_r)
-            d2 = ((guide - g_q) ** 2 - alpha * (var + jnp.minimum(var, v_q))
-                  ) / (eps + k * k * (var + v_q))
-            d2 = _box_filter(d2, patch_r).mean(0)      # patch + channel avg
-            w = jnp.exp(-jnp.maximum(d2, 0.0))         # [h, w]
-            s_q = _shifted(src, dy, dx, window_r)
-            return (acc + w[None] * s_q, wsum + w), None
-
-        n = (2 * window_r + 1) ** 2
-        (acc, wsum), _ = lax.scan(
-            offset, (jnp.zeros_like(src), jnp.zeros(src.shape[-2:])),
-            jnp.arange(n))
-        return acc / (wsum[None] + eps)
-
-    return 0.5 * (filter_one(buf_a, buf_b) + filter_one(buf_b, buf_a))
+    # Cross filtering (weights measured on the *other* buffer)
+    # decorrelates the weights from the noise being averaged.
+    return 0.5 * (_nlm_filter(buf_a, buf_b, var, patch_r, window_r, k,
+                              alpha=alpha)
+                  + _nlm_filter(buf_b, buf_a, var, patch_r, window_r, k,
+                                alpha=alpha))
 
 
 @functools.partial(jax.jit, static_argnames=("window_r",))
@@ -380,13 +361,14 @@ def _nlm_weight_field(guide, var, dy, dx, window_r, patch_r, k, alpha=0.5):
     return jnp.exp(-jnp.maximum(d2, 0.0))               # [h, w]
 
 
-def _nlm_filter(src, guide, var, patch_r, window_r, k):
+def _nlm_filter(src, guide, var, patch_r, window_r, k, alpha=0.5):
     """NL-means filter of ``src`` with weights measured on ``guide``
-    (used by NFOR's feature prefiltering pass)."""
+    (nlm_denoise's per-buffer pass; also NFOR's feature prefilter)."""
     def offset(carry, i):
         acc, wsum = carry
         dy, dx = i // (2 * window_r + 1), i % (2 * window_r + 1)
-        w = _nlm_weight_field(guide, var, dy, dx, window_r, patch_r, k)
+        w = _nlm_weight_field(guide, var, dy, dx, window_r, patch_r, k,
+                              alpha=alpha)
         s_q = _shifted(src, dy, dx, window_r)
         return (acc + w[None] * s_q, wsum + w), None
 
@@ -612,8 +594,11 @@ def denoise_buffers(features, labels, method="nlm", **kw):
         normal = features[:, labels.index("normal_first_x"):
                           labels.index("normal_first_x") + 3].mean(0)
         depth = planes("depth_first", 1).mean(0)
+        # cbf filters the FULL-spp mean, whose variance is var(0)/spp —
+        # not the half-buffer-mean variance the nlm/nfor paths use.
+        var_full = color.var(0) / max(spp, 1)
         out = cross_bilateral_denoise(
-            jnp.asarray(color.mean(0)), jnp.asarray(var),
+            jnp.asarray(color.mean(0)), jnp.asarray(var_full),
             jnp.asarray(albedo), jnp.asarray(normal), jnp.asarray(depth),
             **kw)
     else:

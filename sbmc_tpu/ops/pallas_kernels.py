@@ -102,15 +102,15 @@ def _ksize(k2):
     return k
 
 
-def _pad_halo(x, o, hp, wp, rh, rw, th, tw):
-    """Zero-pad ``x`` (spatial-last) so that for every tile origin
+def _pad_halo(x, o, hp, wp, rh, rw, th, tw, fill=0):
+    """Pad ``x`` (spatial-last) with ``fill`` so that for every tile origin
     ``(iy*TH, ix*TW)`` the aligned window ``[iy*TH : iy*TH+RH,
     ix*TW : ix*TW+RW]`` is in bounds and centered: padded[o + y] = x[y]."""
     h, w = x.shape[-2], x.shape[-1]
     pad = [(0, 0)] * (x.ndim - 2)
     pad.append((o, hp - th + rh - (h + o)))
     pad.append((o, wp - tw + rw - (w + o)))
-    return jnp.pad(x, pad)
+    return jnp.pad(x, pad, constant_values=fill)
 
 
 # ---------------------------------------------------------------------------
@@ -723,6 +723,26 @@ def _psb_dlogits_kernel(hal_ref, l_ref, d_ref, out_ref, scratch, sem, *,
             out_ref[0, t] = e * inner
 
 
+def _psb_pick_tw(w, k2, lg_itemsize, th=32):
+    """Backward tile width: like :func:`_psf_pick_tw` (minimize padded
+    columns) but budget-checked. Unlike the forward — whose k2-plane
+    logits stream through an ANY-space scratch — the backward has the
+    logits as a *blocked* VMEM input and (for d_klogits) a blocked k2-plane
+    f32 output, both double-buffered by the Pallas pipeline; at TW=512,
+    k2=441, f32 that is ~115 MiB > the 96 MiB scoped limit."""
+    def fits(tw):
+        blocked = 2 * k2 * th * tw * (lg_itemsize + 4)
+        return blocked <= int(0.85 * _VMEM_LIMIT)
+
+    candidates = [tw for tw in (512, 384, 256, 128) if fits(tw)] or [128]
+    best_wp, best_tw = None, candidates[-1]
+    for tw in candidates:
+        wp = _round_up(w, tw)
+        if best_wp is None or wp < best_wp:
+            best_wp, best_tw = wp, tw
+    return best_tw
+
+
 def progressive_splat_bwd_pallas(data, logits, new_max, d_r, d_w, *,
                                  block_h=None, block_w=None,
                                  interpret=False):
@@ -740,7 +760,7 @@ def progressive_splat_bwd_pallas(data, logits, new_max, d_r, d_w, *,
     K = _ksize(k2)
     o = (K - 1) // 2
     TH = block_h or 32
-    TW = block_w or _psf_pick_tw(w)
+    TW = block_w or _psb_pick_tw(w, k2, logits.dtype.itemsize, th=TH)
     hp, wp = _round_up(h, TH), _round_up(w, TW)
     RH = _round_up(TH + K - 1, 8)
     RW = _round_up(TW + K - 1, 128)
@@ -750,11 +770,7 @@ def progressive_splat_bwd_pallas(data, logits, new_max, d_r, d_w, *,
 
     # Out-of-image positions must contribute zero: pad m with +inf so
     # exp(L - inf) = 0 kills their taps; d_r/d_w zero-padded.
-    inf = jnp.float32(3e38)
-    mp = _pad_halo(new_max, o, hp, wp, RH, RW, TH, TW)
-    # _pad_halo zero-pads; convert the pad region of m to +inf.
-    ones = _pad_halo(jnp.ones_like(new_max), o, hp, wp, RH, RW, TH, TW)
-    mp = jnp.where(ones > 0, mp, inf)
+    mp = _pad_halo(new_max, o, hp, wp, RH, RW, TH, TW, fill=3e38)
     drp = _pad_halo(d_r, o, hp, wp, RH, RW, TH, TW)
     dwp = _pad_halo(d_w, o, hp, wp, RH, RW, TH, TW)
 

@@ -404,3 +404,23 @@ def test_fused_backward_matches_oracle(shape, k, rng):
     for name, a, b in zip("data wts sum_r sum_w max_w".split(), ga, gb):
         assert np.allclose(np.array(a), np.array(b), atol=3e-4), \
             (name, float(jnp.abs(a - b).max()))
+
+
+def test_psb_pick_tw_respects_vmem_budget():
+    """The backward tile-width picker must keep the double-buffered
+    blocked logits input + d_klogits output under the scoped-VMEM budget
+    for every (width, k2, dtype) the flagship and bench configs use, and
+    still prefer the TW that minimizes padded columns when several fit."""
+    from sbmc_tpu.ops.pallas_kernels import _VMEM_LIMIT, _psb_pick_tw, \
+        _round_up
+
+    for w in (40, 160, 512, 1056, 1080, 2048):
+        for k2 in (25, 441):
+            for itemsize in (2, 4):
+                tw = _psb_pick_tw(w, k2, itemsize)
+                blocked = 2 * k2 * 32 * tw * (itemsize + 4)
+                assert blocked <= int(0.85 * _VMEM_LIMIT), \
+                    (w, k2, itemsize, tw, blocked)
+    # Small k2 leaves headroom: the picker must then minimize padding
+    # (w=1056 pads to 1152 at TW=128 but 1536 at TW=512).
+    assert _round_up(1056, _psb_pick_tw(1056, 25, 4)) == 1152
