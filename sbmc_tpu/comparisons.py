@@ -536,7 +536,7 @@ def denoise_buffers(features, labels, method="nlm", **kw):
       features: ``[spp, n_features, h, w]`` raw per-sample features (the
         RAW_MODE layout; same source as scripts/denoise_nfor.py).
       labels: feature-label list (``TilesDataset.labels``).
-      method: "nlm" or "cbf".
+      method: "nlm", "cbf", "rpf", or "nfor".
 
     Returns:
       ``[3, h, w]`` numpy radiance.

@@ -29,6 +29,7 @@ All kernels compute in float32 (radiance accumulation precision).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,22 @@ __all__ = [
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+# A/B experiment knob for the splat kernels' hot transcendental: with
+# SBMC_PALLAS_EXP2=1 every softmax exponential lowers as exp2(x*log2 e)
+# (one extra vmult per tap) instead of exp(x) — a win iff Mosaic's exp is
+# NOT already a scaled exp2 on the VPU's pow2 unit. Measure on chip via
+# scripts/tpu_session.py; numerically equivalent up to 1-ulp rounding.
+_USE_EXP2 = bool(os.environ.get("SBMC_PALLAS_EXP2"))
+_LOG2E = 1.4426950408889634
+
+
+def _vexp(x):
+    """Softmax exponential in the splat kernels (see _USE_EXP2)."""
+    if _USE_EXP2:
+        return jnp.exp2(x * _LOG2E)
+    return jnp.exp(x)
 
 
 # v5e (and v4) cores have 128 MiB of VMEM, but the compiler's default
@@ -210,7 +227,7 @@ def _kw_exp_kernel(dp_ref, w_ref, m_ref, out_ref, sw_ref, scratch, sem, *,
     cp.start()
 
     m = m_ref[0, 0]                       # (TH, TW)
-    w = jnp.exp(w_ref[0].astype(jnp.float32) - m[None])  # fused softmax-exp
+    w = _vexp(w_ref[0].astype(jnp.float32) - m[None])   # fused softmax-exp
     sw_ref[0] = jnp.sum(w, axis=0)
 
     cp.wait()
@@ -540,18 +557,18 @@ def _psf_kernel(dp_ref, lp_ref, sr_ref, sw_ref, mw_ref,
         for dx in range(K):
             v = wscr[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
             rowmax = jnp.maximum(rowmax, v.astype(jnp.float32))
-        s = jnp.exp(m - rowmax)
+        s = _vexp(m - rowmax)
         accw = accw * s
         accr = accr * s[None]
         m = rowmax
         # Pass 2: accumulate this row's exponentiated taps.
         for dx in range(K):
             v = wscr[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
-            e = jnp.exp(v.astype(jnp.float32) - m)
+            e = _vexp(v.astype(jnp.float32) - m)
             accw += e
             accr += e[None] * dband[:, :, dx:dx + TW]
 
-    scale = jnp.exp(mw_ref[0, 0].astype(jnp.float32) - m)
+    scale = _vexp(mw_ref[0, 0].astype(jnp.float32) - m)
     or_ref[0] = sr_ref[0] * scale[None] + accr
     ow_ref[0, 0] = sw_ref[0, 0] * scale + accw
     om_ref[0, 0] = m
@@ -690,7 +707,7 @@ def _psb_ddata_kernel(hal_ref, l_ref, out_ref, scratch, sem, *,
         for dx in range(K):
             sx = K - 1 - dx
             flip = (K - 1 - dy) * K + (K - 1 - dx)
-            e = jnp.exp(lg[flip].astype(jnp.float32)
+            e = _vexp(lg[flip].astype(jnp.float32)
                         - m_band[:, sx:sx + TW])
             acc += e[None] * dr_band[:, :, sx:sx + TW]
     out_ref[0] = acc
@@ -716,7 +733,7 @@ def _psb_dlogits_kernel(hal_ref, l_ref, d_ref, out_ref, scratch, sem, *,
         dr_band = scratch[2:, dy:dy + TH, :]
         for dx in range(K):
             t = dy * K + dx
-            e = jnp.exp(lg[t].astype(jnp.float32)
+            e = _vexp(lg[t].astype(jnp.float32)
                         - m_band[:, dx:dx + TW])
             inner = dw_band[:, dx:dx + TW] + sum(
                 dat[i] * dr_band[i, :, dx:dx + TW] for i in range(c))

@@ -5,8 +5,9 @@ and the native classical baselines on a held-out scene set.
 For every scene in ``--data`` this writes (under ``--output``):
 ``gt/<scene>.exr`` (ground-truth pixel statistics recorded with the tiles),
 ``<spp>spp_input/``, ``<spp>spp_ours/`` (the trained model via the tiled
-inference path), ``<spp>spp_nlm/`` and ``<spp>spp_cbf/`` (the native
-baselines), then computes PSNR / relMSE / DSSIM per method and writes
+inference path), ``<spp>spp_{nlm,cbf,rpf,nfor}/`` (the native
+comparison-denoiser baselines), then computes PSNR / relMSE / DSSIM per
+method and writes
 ``metrics.csv`` and a markdown table to stdout and ``metrics.md``.
 
 This is the role of the reference's ``make demo/eval`` +
@@ -54,20 +55,63 @@ def main(args):
     set_logger(args.verbose)
     log = get_logger("sbmc_tpu.eval_suite")
 
-    meta = Checkpointer.load_meta(args.checkpoint)
-    data_params = dict(meta["data_params"])
+    class TiledModel:
+        """Lazy checkpoint-restored model driven through the overlap-tiled
+        inference path (params restored on the first tile so init shapes
+        come from real data)."""
+
+        def __init__(self, checkpoint_dir):
+            self.meta = Checkpointer.load_meta(checkpoint_dir)
+            self.model = build_model(self.meta)
+            self.interface = DenoiserInterface(self.model)
+            self.checkpointer = Checkpointer(checkpoint_dir)
+            self.apply_fn = jax.jit(self.model.apply)
+            self.params = None
+
+        def _restore(self, tile0):
+            from sbmc_tpu.train.interface import TrainState
+            params = self.model.init(jax.random.PRNGKey(0), tile0)
+            state_t = TrainState(params=params,
+                                 opt_state=self.interface.tx.init(params),
+                                 step=np.zeros((), np.int32))
+            state, step = self.checkpointer.load_latest(state_t)
+            if step is None:
+                state, step = self.checkpointer.load_tag(state_t, "final")
+            if step is None:
+                raise RuntimeError("no checkpoint found in %s"
+                                   % self.checkpointer.root)
+            log.info("restored checkpoint at step %s", step)
+            self.params = state.params
+
+        def denoise(self, item):
+            batch = {k: v[None] if isinstance(v, np.ndarray) else v
+                     for k, v in item.items()}
+            tiles = split_tiles(batch, max_sz=args.tile_size,
+                                pad=args.tile_pad)
+            if self.params is None:
+                self._restore(tiles[0][0])
+            canvas = np.zeros_like(np.asarray(batch["low_spp"]))
+            merged = []
+            for tb, y0, y1, x0, x1, tilepad in tiles:
+                out = self.apply_fn(self.params, tb)["radiance"]
+                merged.append((pad_back(tb, np.asarray(out)), y0, y1,
+                               x0, x1, tilepad))
+            merge_tiles(canvas, merged)
+            return canvas[0].transpose(1, 2, 0)
+
+    ours = TiledModel(args.checkpoint)
+    data_params = dict(ours.meta["data_params"])
     data_params["spp"] = args.spp
     model_data = FullImagesDataset(args.data, **data_params)
     raw_data = FullImagesDataset(args.data, mode=TilesDataset.RAW_MODE,
                                  spp=args.spp)
-    model = build_model(meta)
-    interface = DenoiserInterface(model)
-    checkpointer = Checkpointer(args.checkpoint)
-    apply_fn = jax.jit(model.apply)
 
-    params = None
     rows = []
-    methods = ["input", "ours", "nlm", "cbf", "rpf"]
+    methods = ["input", "ours", "nlm", "cbf", "rpf", "nfor"]
+    lbf = None
+    if args.lbf_checkpoint:
+        lbf = TiledModel(args.lbf_checkpoint)
+        methods.append("lbf")
     for scene_id in range(len(model_data)):
         item = model_data[scene_id]
         raw = raw_data[scene_id]
@@ -77,35 +121,20 @@ def main(args):
 
         outs = {"input": noisy}
 
-        # --- ours: overlap-tiled model inference --------------------------
-        batch = {k: v[None] if isinstance(v, np.ndarray) else v
-                 for k, v in item.items()}
-        tiles = split_tiles(batch, max_sz=args.tile_size, pad=args.tile_pad)
-        if params is None:
-            params = model.init(jax.random.PRNGKey(0), tiles[0][0])
-            from sbmc_tpu.train.interface import TrainState
-            state_t = TrainState(params=params,
-                                 opt_state=interface.tx.init(params),
-                                 step=np.zeros((), np.int32))
-            state, step = checkpointer.load_latest(state_t)
-            if step is None:
-                state, step = checkpointer.load_tag(state_t, "final")
-            if step is None:
-                raise RuntimeError("no checkpoint found in %s"
-                                   % args.checkpoint)
-            params = state.params
-            log.info("restored checkpoint at step %s", step)
-        canvas = np.zeros_like(np.asarray(batch["low_spp"]))
-        merged = []
-        for tb, y0, y1, x0, x1, tilepad in tiles:
-            out = apply_fn(params, tb)["radiance"]
-            merged.append((pad_back(tb, np.asarray(out)), y0, y1, x0, x1,
-                           tilepad))
-        merge_tiles(canvas, merged)
-        outs["ours"] = canvas[0].transpose(1, 2, 0)
+        # --- learned models: overlap-tiled inference ----------------------
+        outs["ours"] = ours.denoise(item)
+        if lbf is not None:
+            try:
+                outs["lbf"] = lbf.denoise(item)
+            except Exception as e:
+                # A missing/partial LBF checkpoint must not sink the whole
+                # eval — drop the column and keep scoring the rest.
+                log.warning("lbf baseline unavailable (%s); dropping", e)
+                methods.remove("lbf")
+                lbf = None
 
         # --- classical baselines ------------------------------------------
-        for m in ("nlm", "cbf", "rpf"):
+        for m in ("nlm", "cbf", "rpf", "nfor"):
             outs[m] = denoise_buffers(raw["features"], raw_data.labels,
                                       method=m).transpose(1, 2, 0)
 
@@ -162,6 +191,9 @@ if __name__ == "__main__":
     parser.add_argument("--data", required=True,
                         help="held-out scene folder (.bin tiles).")
     parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--lbf_checkpoint", default=None,
+                        help="optional LBF baseline checkpoint (trained "
+                        "via train.py --lbf_mode); adds an 'lbf' column.")
     parser.add_argument("--output", required=True)
     parser.add_argument("--spp", type=int, default=4)
     parser.add_argument("--tile_size", type=int, default=512)

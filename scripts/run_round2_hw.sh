@@ -20,10 +20,15 @@ QDIR=${QDIR:-/tmp/qrun}
 TRAIN_UNTIL=${TRAIN_UNTIL:?set TRAIN_UNTIL (epoch seconds)}
 SEG_SECONDS=${SEG_SECONDS:-2700}
 MAX_STEPS=${MAX_STEPS:-25000}
+# A hard tunnel wedge heals only after 20-30+ min of COMPLETE idleness,
+# and a hung probe holds a connection open for its whole timeout — so the
+# idle gap must be long and the probe short (measured 2026-08-17).
+PROBE_TIMEOUT=${PROBE_TIMEOUT:-120}
+PROBE_SLEEP=${PROBE_SLEEP:-2400}
 mkdir -p "$LOG"
 
 probe() {
-    timeout 360 python - <<'EOF'
+    timeout "$PROBE_TIMEOUT" python - <<'EOF'
 from sbmc_tpu.utils.platform import honor_env_platform; honor_env_platform()
 import jax, jax.numpy as jnp
 x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256)))
@@ -38,7 +43,7 @@ until probe >> "$LOG/driver.log" 2>&1; do
         echo "$(date +%T) window never opened" >> "$LOG/driver.log"
         exit 1
     fi
-    sleep 900   # full idle between probes: frequent probes reset the heal
+    sleep "$PROBE_SLEEP"   # full idle: frequent probes reset the heal
 done
 echo "$(date +%T) TPU healthy" >> "$LOG/driver.log"
 
@@ -51,8 +56,12 @@ if [ ! -s "$LOG/bench_kpcn.json" ]; then
 fi
 
 # --- 3. segmented training -------------------------------------------------
-while [ "$(date +%s)" -lt "$TRAIN_UNTIL" ]; do
-    left=$(( TRAIN_UNTIL - $(date +%s) ))
+# The last LBF_SECONDS of the window are reserved for the LBF baseline
+# (Kalantari2015) so the eval tables can carry all four comparison methods.
+LBF_SECONDS=${LBF_SECONDS:-1500}
+FLAGSHIP_UNTIL=$(( TRAIN_UNTIL - LBF_SECONDS ))
+while [ "$(date +%s)" -lt "$FLAGSHIP_UNTIL" ]; do
+    left=$(( FLAGSHIP_UNTIL - $(date +%s) ))
     seg=$(( left < SEG_SECONDS ? left : SEG_SECONDS ))
     [ "$seg" -lt 300 ] && break
     echo "$(date +%T) train segment (${seg}s)" >> "$LOG/driver.log"
@@ -71,11 +80,23 @@ while [ "$(date +%s)" -lt "$TRAIN_UNTIL" ]; do
     [ "$rc" -eq 0 ] && break   # hit MAX_STEPS
 done
 
+# --- 3b. LBF baseline training ---------------------------------------------
+if [ "$LBF_SECONDS" -ge 300 ]; then
+    echo "$(date +%T) lbf train (${LBF_SECONDS}s)" >> "$LOG/driver.log"
+    timeout "$LBF_SECONDS" python scripts/train.py "$QDIR/train" \
+        "$QDIR/ckpt_lbf" --lbf_mode --spp 8 --bs 8 --max_steps 6000 \
+        --log_interval 50 --checkpoint_interval 250 \
+        --num_worker_threads 4 >> "$LOG/train_lbf.log" 2>&1
+    echo "$(date +%T) lbf rc=$?" >> "$LOG/driver.log"
+fi
+LBF_FLAG=""
+[ -d "$QDIR/ckpt_lbf" ] && LBF_FLAG="--lbf_checkpoint $QDIR/ckpt_lbf"
+
 # --- 4. held-out evals -----------------------------------------------------
 for spp in 4 8; do
     timeout 3000 python scripts/eval_suite.py --data "$QDIR/test" \
         --checkpoint "$QDIR/ckpt" --output "$QDIR/eval${spp}_r2" \
-        --spp "$spp" --tile_size 256 --tile_pad 0 --verbose \
+        --spp "$spp" --tile_size 256 --tile_pad 0 --verbose $LBF_FLAG \
         >> "$LOG/eval${spp}.log" 2>&1
     echo "$(date +%T) eval ${spp}spp rc=$?" >> "$LOG/driver.log"
 done

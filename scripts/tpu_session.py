@@ -220,6 +220,20 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
                     d, w, *c)
             st4 = (st[0], st[1], st[2])
             report("fullyfused ", chain_timer(step_f, st4, (data, wts)))
+
+            # exp-vs-exp2 lowering A/B on the same kernel (the flag is
+            # read at trace time, so flipping the module global and
+            # tracing a fresh callable compiles the exp2 variant).
+            exp2_prev = pallas_kernels._USE_EXP2
+            pallas_kernels._USE_EXP2 = True
+            try:
+                def step_f2(c, d, w):
+                    return pallas_kernels.progressive_splat_fused_pallas(
+                        d, w, *c)
+                report("fused_exp2 ", chain_timer(step_f2, st4,
+                                                  (data, wts)))
+            finally:
+                pallas_kernels._USE_EXP2 = exp2_prev
         except Exception as e:
             print(f"  fused failed: {str(e)[:80]}", flush=True)
 
