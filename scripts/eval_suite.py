@@ -160,16 +160,25 @@ def main(args):
         rows.append(row)
         log.info("  %s: " % scene + "  ".join(
             "%s %.2f dB" % (m, row[m + "_psnr"]) for m in methods))
+        # Stream the csv row-by-row so a timeout mid-run (the evals run
+        # under a wall-clock budget) still leaves scored scenes on disk.
+        # Header written with the first row: the method list is only
+        # final after the first scene (lbf may drop there).
+        os.makedirs(args.output, exist_ok=True)
+        mode = "w" if scene_id == 0 else "a"
+        with open(os.path.join(args.output, "metrics.csv"), mode) as f:
+            if scene_id == 0:
+                f.write("scene," + ",".join(
+                    "%s_psnr,%s_relmse,%s_dssim" % (m, m, m)
+                    for m in methods) + "\n")
+            f.write(row["scene"] + "," + ",".join(
+                "%.6f,%.6f,%.6f" % (row[m + "_psnr"], row[m + "_relmse"],
+                                    row[m + "_dssim"])
+                for m in methods) + "\n")
 
     # --- aggregate table ----------------------------------------------------
     lines = ["| method | PSNR (dB) | relMSE | DSSIM |",
              "|---|---|---|---|"]
-    csv = ["scene," + ",".join(
-        "%s_psnr,%s_relmse,%s_dssim" % (m, m, m) for m in methods)]
-    for r in rows:
-        csv.append(r["scene"] + "," + ",".join(
-            "%.6f,%.6f,%.6f" % (r[m + "_psnr"], r[m + "_relmse"],
-                                r[m + "_dssim"]) for m in methods))
     for m in methods:
         lines.append("| %s | %.2f | %.4f | %.4f |" % (
             m,
@@ -178,9 +187,6 @@ def main(args):
             float(np.mean([r[m + "_dssim"] for r in rows]))))
     table = "\n".join(lines)
     print(table)
-    os.makedirs(args.output, exist_ok=True)
-    with open(os.path.join(args.output, "metrics.csv"), "w") as f:
-        f.write("\n".join(csv) + "\n")
     with open(os.path.join(args.output, "metrics.md"), "w") as f:
         f.write("# Held-out evaluation (%d scenes, %d spp)\n\n%s\n"
                 % (len(rows), args.spp, table))
