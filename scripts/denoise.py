@@ -25,6 +25,9 @@ honor_env_platform()
 
 
 def main(args):
+    if not args.output.endswith(".exr"):
+        raise SystemExit("--output must be a .exr path, got %r"
+                         % args.output)
     import jax
     import imageio.v2 as imageio
     from sbmc_tpu.data import FullImagesDataset

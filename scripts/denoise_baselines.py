@@ -22,6 +22,9 @@ honor_env_platform()
 
 
 def main(args):
+    if not args.output.endswith(".exr"):
+        raise SystemExit("--output must be a .exr path, got %r"
+                         % args.output)
     import imageio.v2 as imageio
     from sbmc_tpu.comparisons import denoise_buffers
     from sbmc_tpu.data import FullImagesDataset, TilesDataset
