@@ -114,7 +114,8 @@ def _ladder_main(ladder):
     # labeled as such, so the artifact is not just an empty rc=1.
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_SELF.json")
-    if os.path.exists(self_path):
+    # The self-record holds the flagship (sbmc) number only.
+    if MODEL == "sbmc" and os.path.exists(self_path):
         with open(self_path) as f:
             rec = json.load(f)
         print(json.dumps({
