@@ -84,7 +84,31 @@ def _ladder_main(ladder):
     number; each rung must start clean.
     """
     rung_timeout = int(os.environ.get("SBMC_BENCH_RUNG_TIMEOUT", 2700))
-    for i, (tile_size, tile_pad) in enumerate(ladder):
+    # Pre-probe: with a wedged tunnel every rung hangs to its timeout
+    # (hours before the fallback fires). A trivial jit probe in a fresh
+    # subprocess settles device health in minutes.
+    probe_timeout = int(os.environ.get("SBMC_BENCH_PROBE_TIMEOUT", 420))
+    tunnel_ok = True
+    if probe_timeout > 0:
+        try:
+            pr = subprocess.run(
+                [sys.executable, "-c",
+                 "from sbmc_tpu.utils.platform import honor_env_platform;"
+                 "honor_env_platform();"
+                 "import jax, jax.numpy as jnp;"
+                 "x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)));"
+                 "assert float(x) == 128.0 ** 3, float(x)"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=probe_timeout, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            tunnel_ok = pr.returncode == 0
+        except subprocess.TimeoutExpired:
+            tunnel_ok = False
+    if not tunnel_ok:
+        print("# device probe failed; skipping live rungs",
+              file=sys.stderr)
+    for i, (tile_size, tile_pad) in enumerate(
+            ladder if tunnel_ok else []):
         if not isinstance(tile_size, tuple):
             tile_pad = min(tile_pad, tile_size // 4)
         env = dict(os.environ)

@@ -32,7 +32,8 @@ probe() {
 from sbmc_tpu.utils.platform import honor_env_platform; honor_env_platform()
 import jax, jax.numpy as jnp
 x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256)))
-assert float(x) == 256.0 * 256.0
+# ones @ ones has every entry == 256; the full sum is 256^3.
+assert float(x) == 256.0 ** 3, float(x)
 print("probe ok")
 EOF
 }
