@@ -54,9 +54,13 @@ from sbmc_tpu.data import bin_format
 __all__ = ["TracerScene", "random_tracer_scene", "render_pass",
            "render_tile_wavefront", "generate_wavefront_dataset",
            "MAT_DIFFUSE", "MAT_MIRROR", "MAT_GLASS", "MAT_METAL",
-           "MAT_PLASTIC"]
+           "MAT_PLASTIC", "TEX_CHECKER3D", "TEX_NOISE", "TEX_STRIPES"]
 
 MAX_DEPTH = bin_format.PATH_DEPTH  # 6 vertices: camera hit + 5 bounces
+
+SAMPLE_FEATURE_IDX = {n: i for i, n in
+                      enumerate(bin_format.SAMPLE_FEATURE_LABELS)}
+PIXEL_DEPTH_IDX = bin_format.PIXEL_CHANNEL_LABELS.index("depth")
 
 # Bounce-type bitmask (reference: BxDF flags recorded per vertex).
 BT_REFLECTION = 1
@@ -76,6 +80,14 @@ MAT_MIRROR = 1
 MAT_GLASS = 2
 MAT_METAL = 3
 MAT_PLASTIC = 4
+
+# Procedural albedo textures (the role of the reference's Imagemap /
+# Checkerboard textures, sbmc/scene_generator/textures.py:30-139 and
+# randomizers.py random_texture — 99% of reference materials are
+# textured). Active when ``tex_scale > 0``.
+TEX_CHECKER3D = 0
+TEX_NOISE = 1      # 2-octave hash-lattice value noise (image-map role)
+TEX_STRIPES = 2
 
 #: Share of plastic samples that pick the diffuse base lobe (vs the coat).
 _PLASTIC_DIFFUSE_P = 0.7
@@ -115,7 +127,12 @@ class TracerScene:
     scene_radius: float = 12.0
     # --- extended scene surface (defaults reproduce the v1 tracer) -------
     mat_type: Optional[np.ndarray] = None  # [p] MAT_*; derived if None
-    tex_scale: Optional[np.ndarray] = None  # [p] 3D-checker freq; 0 = none
+    tex_scale: Optional[np.ndarray] = None  # [p] texture freq; 0 = none
+    #: [p] texture kind per primitive (TEX_*); defaults to 3D checker for
+    #: every primitive with ``tex_scale > 0`` (the v1/v2 behavior). The
+    #: procedural kinds play the role of the reference's Imagemap /
+    #: Checkerboard textures (sbmc/scene_generator/textures.py:30-139).
+    tex_kind: Optional[np.ndarray] = None
     box_centers: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 3)))
     box_half: np.ndarray = dataclasses.field(
@@ -180,6 +197,8 @@ class TracerScene:
 
         tex = (np.zeros(p) if self.tex_scale is None
                else fit(self.tex_scale, (p,)))
+        kind = (np.full(p, TEX_CHECKER3D, np.int32) if self.tex_kind is None
+                else np.asarray(fit(self.tex_kind, (p,)), np.int32))
         zen = self.sky if self.sky_zenith is None else self.sky_zenith
         # Environment lobes padded to a static count (jit cache key).
         ed = np.asarray(self.env_dirs, np.float32).reshape(-1, 3)
@@ -225,6 +244,7 @@ class TracerScene:
             "motion": jnp.asarray(fit(self.motion, (p, 3))),
             "mat_type": jnp.asarray(mat, jnp.int32),
             "tex_scale": jnp.asarray(tex, jnp.float32),
+            "tex_kind": jnp.asarray(kind, jnp.int32),
             "ground_albedo": jnp.asarray(self.ground_albedo, jnp.float32),
             "light_pos": jnp.asarray(self.light_pos, jnp.float32),
             "light_radius": jnp.float32(self.light_radius),
@@ -378,7 +398,11 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
             rng.uniform(0.05, 0.4, p), 1.0),
         motion=rng.normal(0, 0.15, (p, 3)) * do_motion[:, None],
         mat_type=mat,
-        tex_scale=np.where(rng.rand(p) < 0.4, rng.uniform(0.5, 3.0, p), 0.0),
+        # 70% textured (the reference leaves only 1% untextured, but its
+        # image maps are often low-contrast; keep some flat albedos).
+        tex_scale=np.where(rng.rand(p) < 0.7, rng.uniform(0.5, 3.0, p), 0.0),
+        tex_kind=rng.choice([TEX_CHECKER3D, TEX_NOISE, TEX_STRIPES],
+                            size=p, p=[0.4, 0.35, 0.25]),
         box_centers=box_centers,
         box_half=box_half,
         cyl_centers=cyl_centers,
@@ -623,10 +647,20 @@ def _intersect(scn, org, dirs, t):
     g_alb = scn["ground_albedo"][None] * (0.5 + 0.5 * checker[:, None])
     a_prim = scn["albedos"][slot]
     freq = scn["tex_scale"][slot]
-    ch3 = (jnp.floor(p[:, 0] * freq) + jnp.floor(p[:, 1] * freq)
-           + jnp.floor(p[:, 2] * freq)) % 2.0
-    a_prim = jnp.where((freq > 0)[:, None],
-                       a_prim * (0.55 + 0.45 * ch3[:, None]), a_prim)
+    kind = scn["tex_kind"][slot]
+    q = p * freq[:, None]
+    ch3 = (jnp.floor(q[:, 0]) + jnp.floor(q[:, 1])
+           + jnp.floor(q[:, 2])) % 2.0
+    m_checker = 0.55 + 0.45 * ch3
+    m_noise = 0.4 + 0.6 * jnp.clip(
+        0.65 * _value_noise(q) + 0.35 * _value_noise(q * 2.7 + 13.1),
+        0.0, 1.0)
+    m_stripes = 0.55 + 0.45 * jnp.sin(
+        2 * jnp.pi * (q[:, 0] * 0.8 + q[:, 2] * 0.6)
+        + slot.astype(jnp.float32) * 2.39996)
+    mod = jnp.where(kind == TEX_NOISE, m_noise,
+                    jnp.where(kind == TEX_STRIPES, m_stripes, m_checker))
+    a_prim = jnp.where((freq > 0)[:, None], a_prim * mod[:, None], a_prim)
     albedo = jnp.where(hit_prim[:, None], a_prim, g_alb)
     albedo = jnp.where(hit[:, None], albedo, 0.0)
 
@@ -655,6 +689,29 @@ def _occluded(scn, org, dirs, dist):
         ts_t, _ = _tri_ts(scn, org, dirs, zeros)
         ok = jnp.concatenate([ok, ts_t < dist[:, None] - 1e-3], 1)
     return jnp.any(ok, axis=1)
+
+
+def _value_noise(q):
+    """Trilinear hash-lattice value noise in [0, 1) for points [N, 3]
+    (sin-dot lattice hash; cheap VPU-only texture synthesis)."""
+    qf = jnp.floor(q)
+    f = q - qf
+    f = f * f * (3.0 - 2.0 * f)              # smoothstep fade
+
+    def corner(dx, dy, dz):
+        h = jnp.sin((qf[:, 0] + dx) * 127.1 + (qf[:, 1] + dy) * 311.7
+                    + (qf[:, 2] + dz) * 74.7)
+        return jnp.abs(h * 43758.5453) % 1.0
+
+    n = jnp.zeros(q.shape[0])
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = ((f[:, 0] if dx else 1 - f[:, 0])
+                     * (f[:, 1] if dy else 1 - f[:, 1])
+                     * (f[:, 2] if dz else 1 - f[:, 2]))
+                n = n + w * corner(dx, dy, dz)
+    return n
 
 
 def _frame(normal):
@@ -1109,9 +1166,15 @@ def _render_tile_jit(scn, key, ts, block_x, block_y, image_width,
 
 
 def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
-                          block_y=0, image_width=None, image_height=None):
+                          block_y=0, image_width=None, image_height=None,
+                          kpcn_mode=False):
     """Render one tile with the wavefront tracer into a
-    :class:`bin_format.Tile` (drop-in for the PBRT sample renderer)."""
+    :class:`bin_format.Tile` (drop-in for the PBRT sample renderer).
+
+    ``kpcn_mode=True`` reproduces the reference's ``PathKPCNIntegrator``
+    recording conventions (sbmc_pbrt.diff pathkpcn.cpp: distances stay
+    unnormalized and ``SampleRecord::normalize_probabilities`` is skipped);
+    the default matches ``PathRendernetIntegrator``."""
     image_width = image_width or ts
     image_height = image_height or ts
     scn = scene.as_jax()
@@ -1135,22 +1198,37 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
         return clean(x).reshape(spp, ts, ts, -1).transpose(0, 3, 1, 2)
 
     # Probability normalization like the reference writer
-    # (samplerecord normalize_probabilities): log(p + 1e-8) / 30.
-    p_n = np.log(np.minimum(clean(p), 1e12) + 1e-8) / 30.0
+    # (samplerecord normalize_probabilities): log(p + 1e-8) / 30 — skipped
+    # in kpcn mode like the reference's pathkpcn recording path.
+    p_n = clean(p)
+    if not kpcn_mode:
+        p_n = np.log(np.minimum(p_n, 1e12) + 1e-8) / 30.0
 
     inv_norm = 1.0 / (10.0 * scene.scene_radius)
+    feats = simg(feats).astype(np.float32)
+    pix = np.concatenate([img(mean), img(np.maximum(var, 0))], 0
+                         ).astype(np.float32)
+    if kpcn_mode:
+        # render_pass normalizes distance-like features inline; undo it so
+        # the records carry raw distances (PathKPCNIntegrator convention).
+        denorm = np.float32(10.0 * scene.scene_radius)
+        for name in ("lens_u", "lens_v", "depth_first", "depth"):
+            feats[:, SAMPLE_FEATURE_IDX[name]] *= denorm
+        d_pix = PIXEL_DEPTH_IDX
+        pix[d_pix] *= denorm                       # mean depth channel
+        pix[d_pix + bin_format.PIXEL_FEATURES // 2] *= denorm * denorm
     return bin_format.Tile(
         tile_size=ts, image_width=image_width, image_height=image_height,
         sample_count=spp, gt_sample_count=gt_spp,
-        focus_distance=(scene.focus_distance * inv_norm
+        focus_distance=(scene.focus_distance * (1.0 if kpcn_mode
+                                                else inv_norm)
                         if scene.aperture > 0 else 0.0),
-        aperture_radius=scene.aperture * inv_norm,
+        aperture_radius=scene.aperture * (1.0 if kpcn_mode else inv_norm),
         fov=scene.fov / 100.0,
         scene_radius=scene.scene_radius,
         block_x=block_x, block_y=block_y,
-        pixel_data=np.concatenate([img(mean), img(np.maximum(var, 0))], 0
-                                  ).astype(np.float32),
-        features=simg(feats).astype(np.float32),
+        pixel_data=pix,
+        features=feats,
         p=simg(p_n).astype(np.float32),
         ld=simg(ld).astype(np.float32),
         bt=simg(bt).astype(np.int16),
@@ -1159,7 +1237,7 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
 
 def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
                                spp=8, gt_spp=64, seed=0, start_index=0,
-                               key=None):
+                               key=None, kpcn_mode=False):
     """Write a folder-of-scenes dataset rendered by the wavefront tracer
     (drop-in replacement for the PBRT data-generation path when no external
     renderer is available, or to generate data directly on TPU)."""
@@ -1186,7 +1264,7 @@ def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
                 tile = render_tile_wavefront(
                     scene, k, ts=ts, spp=spp, gt_spp=gt_spp,
                     block_x=tx * ts, block_y=ty * ts, image_width=size,
-                    image_height=size)
+                    image_height=size, kpcn_mode=kpcn_mode)
                 bin_format.write_tile(
                     os.path.join(sdir, "tile_%04d_%04d.bin" % (ty, tx)),
                     tile)

@@ -213,7 +213,7 @@ def main(args):
             tiles_per_side=args.width // args.tile_size, spp=args.spp,
             gt_spp=args.gt_spp,
             start_index=args.start_index + args.worker_id,
-            seed=0)
+            seed=0, kpcn_mode=args.kpcn_data)
         return
 
     LOG.info("Starting job on worker %d of %d with %d threads",
@@ -258,6 +258,10 @@ if __name__ == "__main__":
                         choices=["pbrt", "wavefront"],
                         help="'pbrt': external instrumented renderer; "
                         "'wavefront': built-in TPU-native path tracer.")
+    parser.add_argument("--kpcn_data", action="store_true", default=False,
+                        help="record with the PathKPCNIntegrator "
+                        "conventions (unnormalized distances/probabilities;"
+                        " wavefront renderer only).")
     parser.add_argument("assets", help="path to the assets to use.")
     parser.add_argument("output")
     parser.add_argument("--start_index", type=int, default=0)

@@ -173,6 +173,80 @@ class TestExtendedPhysics:
         assert tile.features[0, 13, c, c] < -0.9  # normal_first_z faces cam
         assert np.isfinite(tile.features).all()
 
+    def test_texture_kinds_modulate_albedo(self):
+        """Procedural textures (checker/noise/stripes — the Imagemap/
+        Checkerboard role) vary the recorded albedo across the surface
+        without changing its un-textured mean scale."""
+        flat = _simple_scene()
+        alb = {}
+        for kind in (None, pathtracer.TEX_CHECKER3D, pathtracer.TEX_NOISE,
+                     pathtracer.TEX_STRIPES):
+            s = _simple_scene()
+            if kind is not None:
+                s.tex_scale = np.array([4.0])
+                s.tex_kind = np.array([kind])
+            t = render_tile_wavefront(s, jax.random.PRNGKey(31), ts=24,
+                                      spp=1, gt_spp=1)
+            i_alb = pathtracer.SAMPLE_FEATURE_IDX["albedo_first_r"]
+            hit = (t.features[0, pathtracer.SAMPLE_FEATURE_IDX["hasHit"]]
+                   > 0.5)
+            # Restrict to the sphere: ground albedo is checkered too.
+            i_n = pathtracer.SAMPLE_FEATURE_IDX["normal_first_y"]
+            sphere = hit & (np.abs(t.features[0, i_n] - 1.0) > 1e-3)
+            assert sphere.sum() > 20
+            alb[kind] = t.features[0, i_alb][sphere]
+        assert alb[None].std() < 1e-6          # flat albedo, no texture
+        for kind in (pathtracer.TEX_CHECKER3D, pathtracer.TEX_NOISE,
+                     pathtracer.TEX_STRIPES):
+            assert alb[kind].std() > 0.01, kind
+            assert np.all(alb[kind] <= alb[None].max() + 1e-6)
+            assert np.all(alb[kind] > 0)
+        # Distinct kinds give distinct patterns.
+        a = alb[pathtracer.TEX_CHECKER3D][:20]
+        b = alb[pathtracer.TEX_NOISE][:20]
+        assert not np.allclose(a, b, atol=1e-3)
+
+    def test_kpcn_mode_records_raw_distances_and_pdfs(self):
+        """kpcn_mode reproduces PathKPCNIntegrator conventions
+        (sbmc_pbrt.diff pathkpcn.cpp): unnormalized distances, no
+        log-probability compression (VERDICT r1 §2.1 PathKPCN row)."""
+        scene = _simple_scene(aperture=0.02)
+        std = render_tile_wavefront(scene, jax.random.PRNGKey(30), ts=16,
+                                    spp=2, gt_spp=1)
+        kp = render_tile_wavefront(scene, jax.random.PRNGKey(30), ts=16,
+                                   spp=2, gt_spp=1, kpcn_mode=True)
+        denorm = 10.0 * scene.scene_radius
+        i_depth = pathtracer.SAMPLE_FEATURE_IDX["depth_first"]
+        hit = std.features[:, pathtracer.SAMPLE_FEATURE_IDX["hasHit"]] > 0.5
+        assert hit.any()
+        # Distances: kpcn = standard * (10 * scene_radius), incl. the
+        # pixel-buffer depth mean/variance and the lens/header globals.
+        np.testing.assert_allclose(
+            kp.features[:, i_depth][hit],
+            std.features[:, i_depth][hit] * denorm, rtol=1e-4)
+        d_pix = pathtracer.PIXEL_DEPTH_IDX
+        np.testing.assert_allclose(
+            kp.pixel_data[d_pix], std.pixel_data[d_pix] * denorm,
+            rtol=1e-4)
+        np.testing.assert_allclose(
+            kp.pixel_data[d_pix + bin_format.PIXEL_FEATURES // 2],
+            std.pixel_data[d_pix + bin_format.PIXEL_FEATURES // 2]
+            * denorm * denorm, rtol=1e-3)
+        np.testing.assert_allclose(kp.aperture_radius,
+                                   std.aperture_radius * denorm, rtol=1e-5)
+        np.testing.assert_allclose(kp.focus_distance,
+                                   std.focus_distance * denorm, rtol=1e-5)
+        # Probabilities: standard applies log(p + 1e-8) / 30; kpcn is raw.
+        np.testing.assert_allclose(
+            std.p, np.log(np.minimum(kp.p, 1e12) + 1e-8) / 30.0,
+            atol=1e-5)
+        # Everything not distance/probability shaped is identical.
+        np.testing.assert_array_equal(kp.bt, std.bt)
+        np.testing.assert_allclose(kp.ld, std.ld, atol=1e-6)
+        i_alb = pathtracer.SAMPLE_FEATURE_IDX["albedo_r"]
+        np.testing.assert_allclose(kp.features[:, i_alb:i_alb + 3],
+                                   std.features[:, i_alb:i_alb + 3])
+
     def test_scene_radius_normalizes_depth(self):
         """Depth features scale with 1/(10*scene_radius) — round 1
         hardcoded 12.0 (VERDICT weak #4)."""
