@@ -133,6 +133,8 @@ class TracerScene:
     #: procedural kinds play the role of the reference's Imagemap /
     #: Checkerboard textures (sbmc/scene_generator/textures.py:30-139).
     tex_kind: Optional[np.ndarray] = None
+    ground_tex_kind: int = TEX_CHECKER3D
+    ground_tex_scale: float = 1.0
     box_centers: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 3)))
     box_half: np.ndarray = dataclasses.field(
@@ -245,6 +247,8 @@ class TracerScene:
             "mat_type": jnp.asarray(mat, jnp.int32),
             "tex_scale": jnp.asarray(tex, jnp.float32),
             "tex_kind": jnp.asarray(kind, jnp.int32),
+            "ground_tex_kind": jnp.int32(self.ground_tex_kind),
+            "ground_tex_scale": jnp.float32(self.ground_tex_scale),
             "ground_albedo": jnp.asarray(self.ground_albedo, jnp.float32),
             "light_pos": jnp.asarray(self.light_pos, jnp.float32),
             "light_radius": jnp.float32(self.light_radius),
@@ -403,6 +407,9 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
         tex_scale=np.where(rng.rand(p) < 0.7, rng.uniform(0.5, 3.0, p), 0.0),
         tex_kind=rng.choice([TEX_CHECKER3D, TEX_NOISE, TEX_STRIPES],
                             size=p, p=[0.4, 0.35, 0.25]),
+        ground_tex_kind=int(rng.choice(
+            [TEX_CHECKER3D, TEX_NOISE, TEX_STRIPES], p=[0.5, 0.3, 0.2])),
+        ground_tex_scale=float(rng.uniform(0.3, 2.0)),
         box_centers=box_centers,
         box_half=box_half,
         cyl_centers=cyl_centers,
@@ -643,23 +650,13 @@ def _intersect(scn, org, dirs, t):
     # Material lookups go through the column->slot map (triangles share
     # their mesh's slot).
     slot = scn["col_slot"][p_idx]
-    checker = (jnp.floor(p[:, 0]) + jnp.floor(p[:, 2])) % 2.0
-    g_alb = scn["ground_albedo"][None] * (0.5 + 0.5 * checker[:, None])
+    g_mod = _tex_mod(scn["ground_tex_kind"],
+                     p * scn["ground_tex_scale"], 0.0)
+    g_alb = scn["ground_albedo"][None] * g_mod[:, None]
     a_prim = scn["albedos"][slot]
     freq = scn["tex_scale"][slot]
-    kind = scn["tex_kind"][slot]
-    q = p * freq[:, None]
-    ch3 = (jnp.floor(q[:, 0]) + jnp.floor(q[:, 1])
-           + jnp.floor(q[:, 2])) % 2.0
-    m_checker = 0.55 + 0.45 * ch3
-    m_noise = 0.4 + 0.6 * jnp.clip(
-        0.65 * _value_noise(q) + 0.35 * _value_noise(q * 2.7 + 13.1),
-        0.0, 1.0)
-    m_stripes = 0.55 + 0.45 * jnp.sin(
-        2 * jnp.pi * (q[:, 0] * 0.8 + q[:, 2] * 0.6)
-        + slot.astype(jnp.float32) * 2.39996)
-    mod = jnp.where(kind == TEX_NOISE, m_noise,
-                    jnp.where(kind == TEX_STRIPES, m_stripes, m_checker))
+    mod = _tex_mod(scn["tex_kind"][slot], p * freq[:, None],
+                   slot.astype(jnp.float32) * 2.39996)
     a_prim = jnp.where((freq > 0)[:, None], a_prim * mod[:, None], a_prim)
     albedo = jnp.where(hit_prim[:, None], a_prim, g_alb)
     albedo = jnp.where(hit[:, None], albedo, 0.0)
@@ -712,6 +709,21 @@ def _value_noise(q):
                      * (f[:, 2] if dz else 1 - f[:, 2]))
                 n = n + w * corner(dx, dy, dz)
     return n
+
+
+def _tex_mod(kind, q, phase):
+    """Albedo modulation in (0, 1] for texture ``kind`` at scaled points
+    ``q`` [N, 3] (see TEX_*); ``phase`` decorrelates stripe patterns."""
+    ch3 = (jnp.floor(q[:, 0]) + jnp.floor(q[:, 1])
+           + jnp.floor(q[:, 2])) % 2.0
+    m_checker = 0.55 + 0.45 * ch3
+    m_noise = 0.4 + 0.6 * jnp.clip(
+        0.65 * _value_noise(q) + 0.35 * _value_noise(q * 2.7 + 13.1),
+        0.0, 1.0)
+    m_stripes = 0.55 + 0.45 * jnp.sin(
+        2 * jnp.pi * (q[:, 0] * 0.8 + q[:, 2] * 0.6) + phase)
+    return jnp.where(kind == TEX_NOISE, m_noise,
+                     jnp.where(kind == TEX_STRIPES, m_stripes, m_checker))
 
 
 def _frame(normal):

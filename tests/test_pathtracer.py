@@ -206,6 +206,31 @@ class TestExtendedPhysics:
         b = alb[pathtracer.TEX_NOISE][:20]
         assert not np.allclose(a, b, atol=1e-3)
 
+    def test_ground_texture_randomization(self):
+        """Ground-plane texture kind/scale vary the recorded ground
+        albedo pattern (the ground is the dominant surface in the
+        distribution)."""
+        albs = []
+        for kind, scale in ((pathtracer.TEX_CHECKER3D, 1.0),
+                            (pathtracer.TEX_NOISE, 0.7),
+                            (pathtracer.TEX_STRIPES, 1.6)):
+            s = _simple_scene()
+            s.ground_tex_kind = kind
+            s.ground_tex_scale = scale
+            t = render_tile_wavefront(s, jax.random.PRNGKey(32), ts=24,
+                                      spp=1, gt_spp=1)
+            i_alb = pathtracer.SAMPLE_FEATURE_IDX["albedo_first_r"]
+            i_n = pathtracer.SAMPLE_FEATURE_IDX["normal_first_y"]
+            hit = (t.features[0, pathtracer.SAMPLE_FEATURE_IDX["hasHit"]]
+                   > 0.5)
+            ground = hit & (np.abs(t.features[0, i_n] - 1.0) < 1e-3)
+            assert ground.sum() > 50
+            albs.append(t.features[0, i_alb][ground])
+        for a in albs:
+            assert a.std() > 0.01       # every kind shows a pattern
+        assert not np.allclose(albs[0][:40], albs[1][:40], atol=1e-3)
+        assert not np.allclose(albs[1][:40], albs[2][:40], atol=1e-3)
+
     def test_kpcn_mode_records_raw_distances_and_pdfs(self):
         """kpcn_mode reproduces PathKPCNIntegrator conventions
         (sbmc_pbrt.diff pathkpcn.cpp): unnormalized distances, no
