@@ -650,8 +650,13 @@ def _intersect(scn, org, dirs, t):
     # Material lookups go through the column->slot map (triangles share
     # their mesh's slot).
     slot = scn["col_slot"][p_idx]
-    g_mod = _tex_mod(scn["ground_tex_kind"],
-                     p * scn["ground_tex_scale"], 0.0)
+    # The ground plane sits exactly at y=0, so hit points have
+    # y ~ +-eps and floor(q_y) would flip the checker parity (and hash
+    # lattice cell) per ray. Pin the y lattice coordinate to mid-cell so
+    # the ground texture depends only on x/z.
+    g_q = p * scn["ground_tex_scale"]
+    g_q = g_q.at[:, 1].set(0.5)
+    g_mod = _tex_mod(scn["ground_tex_kind"], g_q, 0.0)
     g_alb = scn["ground_albedo"][None] * g_mod[:, None]
     a_prim = scn["albedos"][slot]
     freq = scn["tex_scale"][slot]

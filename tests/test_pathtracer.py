@@ -177,7 +177,6 @@ class TestExtendedPhysics:
         """Procedural textures (checker/noise/stripes — the Imagemap/
         Checkerboard role) vary the recorded albedo across the surface
         without changing its un-textured mean scale."""
-        flat = _simple_scene()
         alb = {}
         for kind in (None, pathtracer.TEX_CHECKER3D, pathtracer.TEX_NOISE,
                      pathtracer.TEX_STRIPES):
@@ -230,6 +229,38 @@ class TestExtendedPhysics:
             assert a.std() > 0.01       # every kind shows a pattern
         assert not np.allclose(albs[0][:40], albs[1][:40], atol=1e-3)
         assert not np.allclose(albs[1][:40], albs[2][:40], atol=1e-3)
+
+    def test_ground_checker_is_spatially_coherent(self):
+        """The y=0 ground plane must not speckle under TEX_CHECKER3D:
+        hit points have y ~ +-eps, so the y lattice coordinate is pinned
+        mid-cell and neighboring pixels inside one checker cell share
+        albedo (regression for the floor(q_y) parity-flip bug)."""
+        s = _simple_scene()
+        s.centers = np.array([[100.0, 1.0, 5.0]])  # sphere out of view
+        s.ground_tex_kind = pathtracer.TEX_CHECKER3D
+        s.ground_tex_scale = 0.25  # cells span many pixels
+        t = render_tile_wavefront(s, jax.random.PRNGKey(33), ts=32,
+                                  spp=1, gt_spp=1)
+        i_alb = pathtracer.SAMPLE_FEATURE_IDX["albedo_first_r"]
+        i_n = pathtracer.SAMPLE_FEATURE_IDX["normal_first_y"]
+        hit = (t.features[0, pathtracer.SAMPLE_FEATURE_IDX["hasHit"]]
+               > 0.5)
+        ground = hit & (np.abs(t.features[0, i_n] - 1.0) < 1e-3)
+        assert ground.sum() > 200
+        alb = t.features[0, i_alb]
+        # Horizontally adjacent ground pixels nearly always agree: only
+        # pixel pairs straddling a cell boundary may differ. Check the
+        # bottom third of the tile (near-field ground, many pixels per
+        # cell) — toward the horizon a single pixel legitimately spans
+        # several cells, which is aliasing, not the parity-flip bug.
+        near = slice(2 * alb.shape[0] // 3, None)
+        both = ground[near, :-1] & ground[near, 1:]
+        same = np.abs(alb[near, :-1] - alb[near, 1:]) < 1e-3
+        assert both.sum() > 100
+        frac_same = (same & both).sum() / max(both.sum(), 1)
+        # Rows that straddle a z cell boundary legitimately speckle under
+        # 1-spp jitter; the parity-flip bug speckled EVERY row (~0.5).
+        assert frac_same > 0.8
 
     def test_kpcn_mode_records_raw_distances_and_pdfs(self):
         """kpcn_mode reproduces PathKPCNIntegrator conventions
