@@ -75,6 +75,56 @@ class Trainer:
             self._emit("training_end")
         return state
 
+    def train_reservoir(self, state, reservoir, feeder=None, max_steps=None,
+                        refresh_every=1, val_dataloader=None,
+                        val_interval=2000):
+        """Device-reservoir training loop (see train/reservoir.py).
+
+        Per step: optionally refresh one HBM slot with a freshly decoded
+        tile (non-blocking — the feeder decodes in the background and the
+        slot write is async-dispatched), then run the compiled
+        sample-from-reservoir step. Callbacks see the same batch_end
+        events as :meth:`train`.
+        """
+        self.state = state
+        self._emit("training_start", self)
+        step = int(np.asarray(state.step))
+        prev_metrics = None
+        refreshed = 0
+        try:
+            while max_steps is None or step < max_steps:
+                if feeder is not None and step % refresh_every == 0:
+                    item = feeder.poll()
+                    if item is not None:
+                        reservoir.refresh(item)
+                        refreshed += 1
+                state, metrics = reservoir.train_step(state)
+                self.state = state
+                step += 1
+                if prev_metrics is not None:
+                    self.interface.check_finite(prev_metrics)
+                    self._emit("batch_end", step - 1, prev_metrics)
+                prev_metrics = metrics
+                if step % 100 == 0:
+                    import gc
+                    gc.collect()
+                if val_dataloader is not None and step % val_interval == 0:
+                    val = self.validate(state, val_dataloader)
+                    self._emit("validation_end", step // val_interval, val)
+            if prev_metrics is not None:
+                self.interface.check_finite(prev_metrics)
+                self._emit("batch_end", step, prev_metrics)
+        except KeyboardInterrupt:
+            LOG.info("training interrupted")
+            self._emit("training_end")
+        else:
+            self._emit("training_end")
+        finally:
+            if feeder is not None:
+                feeder.stop()
+        LOG.info("reservoir refreshes: %d over %d steps", refreshed, step)
+        return state
+
     def validate(self, state, dataloader):
         """Running-mean validation (reference: sbmc/interfaces.py:108-132)."""
         running = {"loss": 0.0, "rmse": 0.0}

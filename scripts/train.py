@@ -146,8 +146,31 @@ def main(args):
             interface, lambda: trainer.state, lambda: first,
             os.path.join(args.checkpoint_dir, "viz")))
     trainer = Trainer(interface, cbs)
-    trainer.train(state, loader, num_epochs=args.num_epochs,
-                  val_dataloader=val_loader, max_steps=args.max_steps)
+
+    use_reservoir = (args.device_reservoir > 0 and mesh is None
+                     and not args.kpcn_mode)
+    if args.device_reservoir > 0 and not use_reservoir:
+        log.info("--device_reservoir ignored (data-parallel mesh or kpcn "
+                 "mode keeps the host loader)")
+    if use_reservoir:
+        from sbmc_tpu.train.reservoir import DeviceReservoir, ReservoirFeeder
+        cap = min(args.device_reservoir, len(data))
+        spp_range = (2, args.spp) if args.randomize_spp else None
+        reservoir = DeviceReservoir(interface, capacity=cap,
+                                    batch_size=args.bs,
+                                    spp_mask_range=spp_range)
+        log.info("Device reservoir: %d tiles in HBM, on-device batch "
+                 "sampling (spp mask range %s)", cap, spp_range)
+        reservoir.fill([data[i] for i in range(cap)])
+        feeder = None
+        if cap < len(data):
+            feeder = ReservoirFeeder(data, depth=2).start()
+        trainer.train_reservoir(state, reservoir, feeder=feeder,
+                                max_steps=args.max_steps,
+                                val_dataloader=val_loader)
+    else:
+        trainer.train(state, loader, num_epochs=args.num_epochs,
+                      val_dataloader=val_loader, max_steps=args.max_steps)
 
 
 if __name__ == "__main__":
@@ -187,6 +210,11 @@ if __name__ == "__main__":
     parser.add_argument("--dont_use_ld", action="store_true")
     parser.add_argument("--dont_use_bt", action="store_true")
     parser.add_argument("--num_worker_threads", type=int, default=4)
+    parser.add_argument("--device_reservoir", type=int, default=0,
+                        help="hold this many preprocessed tiles in HBM and "
+                        "sample batches on device (kills the per-step host "
+                        "stack+upload cost; single-device sbmc/lbf only). "
+                        "0 disables.")
     parser.add_argument("--no_cache_ram", dest="cache_ram",
                         action="store_false", default=True,
                         help="disable the RAM cache of preprocessed tiles "
