@@ -157,6 +157,12 @@ def main(args):
             row[m + "_psnr"] = psnr(o_c, gt_c)
             row[m + "_relmse"] = rel_mse(o_c, gt_c)
             row[m + "_dssim"] = 1.0 - evaluation.ssim(o_c, gt_c)
+            # Reference-protocol metric set on linear radiance
+            # (sbmc/evaluation.py:305-310: mse, NaN-pruned rmse, DSSIM,
+            # L1, relative L1) so the tables are directly comparable to
+            # reference-produced CSVs.
+            for k, op in evaluation.METRIC_OPS.items():
+                row["%s_ref_%s" % (m, k)] = float(op(o_c, gt_c))
         rows.append(row)
         log.info("  %s: " % scene + "  ".join(
             "%s %.2f dB" % (m, row[m + "_psnr"]) for m in methods))
@@ -166,25 +172,36 @@ def main(args):
         # final after the first scene (lbf may drop there).
         os.makedirs(args.output, exist_ok=True)
         mode = "w" if scene_id == 0 else "a"
+        ref_keys = list(evaluation.METRIC_OPS.keys())
+        col_names = ["psnr", "relmse", "dssim"] + [
+            "ref_" + k for k in ref_keys]
         with open(os.path.join(args.output, "metrics.csv"), mode) as f:
             if scene_id == 0:
                 f.write("scene," + ",".join(
-                    "%s_psnr,%s_relmse,%s_dssim" % (m, m, m)
-                    for m in methods) + "\n")
+                    "%s_%s" % (m, c) for m in methods
+                    for c in col_names) + "\n")
             f.write(row["scene"] + "," + ",".join(
-                "%.6f,%.6f,%.6f" % (row[m + "_psnr"], row[m + "_relmse"],
-                                    row[m + "_dssim"])
-                for m in methods) + "\n")
+                "%.6f" % row["%s_%s" % (m, c)] for m in methods
+                for c in col_names) + "\n")
 
     # --- aggregate table ----------------------------------------------------
-    lines = ["| method | PSNR (dB) | relMSE | DSSIM |",
-             "|---|---|---|---|"]
+    # Tonemapped PSNR/relMSE/DSSIM plus the reference metric set on linear
+    # radiance (sbmc/evaluation.py:305-310) so the table is comparable to
+    # reference-protocol CSVs.
+    lines = ["| method | PSNR (dB) | relMSE | DSSIM | MSE | rMSE | L1 "
+             "| relL1 |",
+             "|---|---|---|---|---|---|---|---|"]
     for m in methods:
-        lines.append("| %s | %.2f | %.4f | %.4f |" % (
-            m,
-            float(np.mean([r[m + "_psnr"] for r in rows])),
-            float(np.mean([r[m + "_relmse"] for r in rows])),
-            float(np.mean([r[m + "_dssim"] for r in rows]))))
+        lines.append(
+            "| %s | %.2f | %.4f | %.4f | %.5f | %.5f | %.5f | %.5f |" % (
+                m,
+                float(np.mean([r[m + "_psnr"] for r in rows])),
+                float(np.mean([r[m + "_relmse"] for r in rows])),
+                float(np.mean([r[m + "_dssim"] for r in rows])),
+                float(np.mean([r[m + "_ref_mse"] for r in rows])),
+                float(np.mean([r[m + "_ref_rmse"] for r in rows])),
+                float(np.mean([r[m + "_ref_l1"] for r in rows])),
+                float(np.mean([r[m + "_ref_relative_l1"] for r in rows]))))
     table = "\n".join(lines)
     print(table)
     with open(os.path.join(args.output, "metrics.md"), "w") as f:
