@@ -138,15 +138,15 @@ def _ladder_main(ladder):
     # labeled as such, so the artifact is not just an empty rc=1.
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_SELF.json")
-    # The self-record holds the flagship (sbmc) number only.
-    if MODEL == "sbmc" and os.path.exists(self_path):
+    # The self-record holds the flagship (sbmc, 4 spp) number only.
+    if MODEL == "sbmc" and SPP == 4 and os.path.exists(self_path):
         with open(self_path) as f:
             rec = json.load(f)
         print(json.dumps({
             "metric": rec["metric"], "value": rec["value"],
             "unit": rec["unit"], "vs_baseline": rec["vs_baseline"],
             "baseline_estimate": True, "live": False, "stale": True,
-            "measured_at": rec["measured_at"],
+            "measured_at": rec.get("measured_at", rec.get("recorded", "?")),
             "note": "all live rungs failed (TPU tunnel down); value is "
                     "the last healthy on-chip run from BENCH_SELF.json",
         }))
@@ -287,7 +287,7 @@ def main():
 
     fps = 1.0 / dt
     print(json.dumps({
-        "metric": "1080p_4spp_denoise_frames_per_sec_per_chip" if
+        "metric": f"1080p_{SPP}spp_denoise_frames_per_sec_per_chip" if
         MODEL == "sbmc" else
         "1080p_kpcn_denoise_frames_per_sec_per_chip",
         "model": MODEL,
@@ -324,6 +324,19 @@ def main():
 _DEFAULT_LADDER = [((640, 2048), (50, 64)), ((1184, 1056), (52, 48)),
                    ((1216, 768), (68, 64)), (768, 64), (512, 64), (256, 64)]
 
+# Variable-spp inference rungs (BASELINE.md: 8/16/32 spp). The per-tile
+# sample stream scales linearly with spp ([1, spp, 93, th, tw] f32), so
+# tile areas shrink ~1/spp from the 4-spp geometry to keep the same HBM
+# footprint; widths stay multiples of 256 so the splat kernels' lane
+# tiling pads no columns.
+_SPP_LADDERS = {
+    8: [((640, 1024), (50, 64)), ((320, 2048), (50, 64)), (512, 64),
+        (256, 64)],
+    16: [((320, 1024), (50, 64)), ((640, 512), (50, 64)), (384, 64),
+         (256, 64)],
+    32: [((320, 512), (50, 64)), (256, 64), (192, 48)],
+}
+
 # KPCN's inputs are per-pixel (27ch, no per-sample stream), so a single
 # full-frame tile fits: zero overlap waste. Receptive field = 18 px conv
 # shrink + 10 px gather radius => 40-px pad is safe.
@@ -334,5 +347,7 @@ _KPCN_LADDER = [((1160, 2000), (40, 40)), ((640, 2048), (40, 64)),
 if __name__ == "__main__":
     if TILE_SIZE:
         main()          # single rung (set by a user or by _ladder_main)
+    elif MODEL == "kpcn":
+        _ladder_main(_KPCN_LADDER)
     else:
-        _ladder_main(_KPCN_LADDER if MODEL == "kpcn" else _DEFAULT_LADDER)
+        _ladder_main(_SPP_LADDERS.get(SPP, _DEFAULT_LADDER))

@@ -318,11 +318,33 @@ def _random_mesh(rng):
     return verts, faces
 
 
-def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
+def _place_mesh(rng, verts):
+    """Scale / rotate / drop a normalized mesh onto the ground plane (the
+    shared placement law for procedural and .obj props)."""
+    verts = verts.copy() * rng.uniform(0.4, 1.1)
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))
+    verts = verts @ q.T
+    verts += np.array([rng.uniform(-3.5, 3.5), 0.0,
+                       rng.uniform(3.0, 9.0)])
+    verts[:, 1] += 0.05 - verts[:, 1].min()
+    return verts
+
+
+def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
+                        obj_pool=None, obj_prob=0.6, tri_bucket=64):
     """Sample a random scene with the reference's material-mixture spirit
     (sbmc/scene_generator/randomizers.py:194-227: 5% mirror, 5% glass,
     10% metal, 20% plastic, 10% substrate, 30% uber, 20% diffuse — the
-    pbrt-only classes collapse onto our five scattering models)."""
+    pbrt-only classes collapse onto our five scattering models).
+
+    ``obj_pool`` (a :class:`sbmc_tpu.render.assets.ObjPool`) substitutes
+    ingested .obj geometry for the procedural platonic solids with
+    probability ``obj_prob`` per mesh slot (the reference's random model
+    placement, sbmc/scene_generator/generators.py). Triangle arrays are
+    padded with degenerate (never-hit) triangles to a multiple of
+    ``tri_bucket`` so scenes with different meshes share XLA compilations.
+    """
     p = n_spheres + n_boxes + n_cyls + n_meshes
     mat = rng.choice(
         [MAT_DIFFUSE, MAT_MIRROR, MAT_GLASS, MAT_METAL, MAT_PLASTIC],
@@ -361,7 +383,11 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
     mesh_verts = []
     base = n_spheres + n_boxes + n_cyls
     for mi in range(n_meshes):
-        verts, faces = _random_mesh(rng)
+        if obj_pool is not None and rng.rand() < obj_prob:
+            nverts, faces = obj_pool.sample(rng)
+            verts = _place_mesh(rng, nverts)
+        else:
+            verts, faces = _random_mesh(rng)
         mesh_verts.append(verts)
         v0 = verts[faces[:, 0]]
         tri_v0.append(v0)
@@ -375,6 +401,18 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2):
     tri_e2 = cat(tri_e2, (3,))
     tri_prim = (np.concatenate(tri_prim) if tri_prim
                 else np.zeros((0,), np.int32))
+    if tri_bucket and len(tri_v0):
+        # Pad to a bucket multiple with zero-area triangles (det == 0 in
+        # _tri_ts -> never hit) so arbitrary ingested meshes don't force a
+        # fresh XLA compile per scene.
+        pad = (-len(tri_v0)) % tri_bucket
+        if pad:
+            zeros3 = np.zeros((pad, 3), np.float32)
+            tri_v0 = np.concatenate([tri_v0, zeros3])
+            tri_e1 = np.concatenate([tri_e1, zeros3])
+            tri_e2 = np.concatenate([tri_e2, zeros3])
+            tri_prim = np.concatenate(
+                [tri_prim, np.full(pad, base, np.int32)])
 
     # Scene radius: the reference PBRT computes it from the world bound;
     # use the camera-to-farthest-surface distance (plus light) here.
@@ -1254,34 +1292,43 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
 
 def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
                                spp=8, gt_spp=64, seed=0, start_index=0,
-                               key=None, kpcn_mode=False):
+                               key=None, kpcn_mode=False, obj_pool=None,
+                               tiles_y=None):
     """Write a folder-of-scenes dataset rendered by the wavefront tracer
     (drop-in replacement for the PBRT data-generation path when no external
-    renderer is available, or to generate data directly on TPU)."""
+    renderer is available, or to generate data directly on TPU).
+
+    ``tiles_per_side`` sets the tile-grid width; ``tiles_y`` (default:
+    square) sets its height, for non-square frames (e.g. a real
+    1920x1152 frame as a 15x9 grid for the end-to-end denoise timing,
+    reference protocol scripts/denoise.py:138-165)."""
     import os
 
     import jax
 
     import time
     t_start = time.time()
+    tiles_x = tiles_per_side
+    if tiles_y is None:
+        tiles_y = tiles_per_side
     for s in range(n_scenes):
         idx = start_index + s
         rng = np.random.RandomState(seed + idx)
-        scene = random_tracer_scene(rng)
+        scene = random_tracer_scene(rng, obj_pool=obj_pool)
         sdir = os.path.join(outdir, "scene_%05d" % idx)
         os.makedirs(sdir, exist_ok=True)
         if s and s % 10 == 0:
             print("wavefront datagen: %d/%d scenes (%.1f s/scene)"
                   % (s, n_scenes, (time.time() - t_start) / s), flush=True)
-        size = ts * tiles_per_side
+        w, h = ts * tiles_x, ts * tiles_y
         base_key = jax.random.PRNGKey(seed + idx) if key is None else key
-        for ty in range(tiles_per_side):
-            for tx in range(tiles_per_side):
-                k = jax.random.fold_in(base_key, ty * tiles_per_side + tx)
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                k = jax.random.fold_in(base_key, ty * tiles_x + tx)
                 tile = render_tile_wavefront(
                     scene, k, ts=ts, spp=spp, gt_spp=gt_spp,
-                    block_x=tx * ts, block_y=ty * ts, image_width=size,
-                    image_height=size, kpcn_mode=kpcn_mode)
+                    block_x=tx * ts, block_y=ty * ts, image_width=w,
+                    image_height=h, kpcn_mode=kpcn_mode)
                 bin_format.write_tile(
                     os.path.join(sdir, "tile_%04d_%04d.bin" % (ty, tx)),
                     tile)

@@ -28,6 +28,10 @@ def main(args):
     if not args.output.endswith(".exr"):
         raise SystemExit("--output must be a .exr path, got %r"
                          % args.output)
+    if (isinstance(args.tile_size, tuple) or isinstance(args.tile_pad,
+                                                        tuple)) \
+            and not args.uniform_tiles:
+        raise SystemExit("rectangular HxW tiles require --uniform_tiles")
     import jax
     import imageio.v2 as imageio
     from sbmc_tpu.data import FullImagesDataset
@@ -61,8 +65,13 @@ def main(args):
     apply_fn = jax.jit(model.apply)
 
     def denoise_uniform(params, batch, log):
-        """Single-compile SPMD path: uniform tiles stacked on the batch
-        axis, sharded over the device mesh."""
+        """Single-compile path over uniform tiles.
+
+        Multi-device: tiles stacked on the batch axis, SPMD-sharded over
+        the mesh. Single device: ``lax.map`` over the tile stack (one
+        tile's working set in HBM at a time — the bench.py protocol, so
+        real-data timings are directly comparable to the synthetic
+        headline)."""
         from sbmc_tpu.parallel.mesh import data_sharding, make_mesh, replicate
         from sbmc_tpu.parallel.tiles import (merge_tiles_uniform,
                                              split_tiles_uniform)
@@ -72,6 +81,20 @@ def main(args):
                           else "kpcn_diffuse_in"].shape[0]
         ndev = args.num_devices or jax.local_device_count()
         ndev = min(ndev, n_tiles)
+        if ndev == 1:
+            mapped = jax.jit(lambda p, b: jax.lax.map(
+                lambda t: model.apply(
+                    p, jax.tree_util.tree_map(lambda x: x[None], t)
+                )["radiance"], b))
+            dev_batch = jax.device_put(stacked)
+            jax.block_until_ready(dev_batch)
+            t0 = time.time()
+            out = np.asarray(jax.block_until_ready(mapped(params,
+                                                          dev_batch)))
+            elapsed = (time.time() - t0) * 1000
+            log.info("    denoising time {:.1f} ms (lax.map over %d "
+                     "uniform tiles, 1 device)".format(elapsed) % n_tiles)
+            return merge_tiles_uniform(out[:, 0], info)
         pad_to = -(-n_tiles // ndev) * ndev
         if pad_to != n_tiles:
             for k, v in stacked.items():
@@ -199,10 +222,20 @@ if __name__ == "__main__":
                         help="output .exr destination.")
     parser.add_argument("--spp", type=int,
                         help="number of samples to use as input.")
-    parser.add_argument("--tile_size", type=int, default=512,
-                        help="tile size bounding device memory usage.")
-    parser.add_argument("--tile_pad", type=int, default=128,
-                        help="overlap padding around tiles.")
+    def _tile(v):
+        # "512" -> 512; "640x2048" -> (640, 2048) (rectangular strips,
+        # the bench.py-winning geometry; uniform-tile path only).
+        if "x" in v:
+            a, b = v.split("x")
+            return (int(a), int(b))
+        return int(v)
+
+    parser.add_argument("--tile_size", type=_tile, default=512,
+                        help="tile size bounding device memory usage; "
+                        "HxW (e.g. 640x2048) for rectangular strips "
+                        "(uniform-tile path).")
+    parser.add_argument("--tile_pad", type=_tile, default=128,
+                        help="overlap padding around tiles (HxW allowed).")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="devices to spread tiles over (default: all).")
     parser.add_argument("--uniform_tiles", action="store_true",

@@ -112,6 +112,17 @@ def main(args):
     if args.lbf_checkpoint:
         lbf = TiledModel(args.lbf_checkpoint)
         methods.append("lbf")
+    kpcn = None
+    kpcn_data = None
+    if args.kpcn_checkpoint:
+        # KPCN consumes pixel-statistics inputs (dataset mode "kpcn",
+        # reference sbmc/datasets.py:780-857), so it reads the scenes
+        # through its own dataset view.
+        kpcn = TiledModel(args.kpcn_checkpoint)
+        kpcn_params = dict(kpcn.meta["data_params"])
+        kpcn_params["spp"] = args.spp
+        kpcn_data = FullImagesDataset(args.data, **kpcn_params)
+        methods.append("kpcn")
     for scene_id in range(len(model_data)):
         item = model_data[scene_id]
         raw = raw_data[scene_id]
@@ -132,6 +143,13 @@ def main(args):
                 log.warning("lbf baseline unavailable (%s); dropping", e)
                 methods.remove("lbf")
                 lbf = None
+        if kpcn is not None:
+            try:
+                outs["kpcn"] = kpcn.denoise(kpcn_data[scene_id])
+            except Exception as e:
+                log.warning("kpcn baseline unavailable (%s); dropping", e)
+                methods.remove("kpcn")
+                kpcn = None
 
         # --- classical baselines ------------------------------------------
         for m in ("nlm", "cbf", "rpf", "nfor"):
@@ -214,6 +232,11 @@ if __name__ == "__main__":
     parser.add_argument("--data", required=True,
                         help="held-out scene folder (.bin tiles).")
     parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--kpcn_checkpoint", default=None,
+                        help="checkpoint dir of a trained KPCN baseline "
+                        "(via train.py --kpcn_mode); adds a 'kpcn' column "
+                        "(the reference's bako2017_finetuned role, "
+                        "Makefile:187).")
     parser.add_argument("--lbf_checkpoint", default=None,
                         help="optional LBF baseline checkpoint (trained "
                         "via train.py --lbf_mode); adds an 'lbf' column.")

@@ -208,12 +208,19 @@ def main(args):
         LOG.info("Wavefront renderer: %d scenes at %dx%d, %d spp "
                  "(gt %d)", count, args.width, args.height, args.spp,
                  args.gt_spp)
+        obj_pool = None
+        if args.obj_dir:
+            from sbmc_tpu.render.assets import ObjPool
+            obj_pool = ObjPool(args.obj_dir)
+            LOG.info("ObjPool: %d meshes from %s", len(obj_pool),
+                     args.obj_dir)
         pathtracer.generate_wavefront_dataset(
             args.output, n_scenes=count, ts=args.tile_size,
-            tiles_per_side=args.width // args.tile_size, spp=args.spp,
+            tiles_per_side=args.width // args.tile_size,
+            tiles_y=args.height // args.tile_size, spp=args.spp,
             gt_spp=args.gt_spp,
             start_index=args.start_index + args.worker_id,
-            seed=0, kpcn_mode=args.kpcn_data)
+            seed=0, kpcn_mode=args.kpcn_data, obj_pool=obj_pool)
         return
 
     LOG.info("Starting job on worker %d of %d with %d threads",
@@ -258,6 +265,10 @@ if __name__ == "__main__":
                         choices=["pbrt", "wavefront"],
                         help="'pbrt': external instrumented renderer; "
                         "'wavefront': built-in TPU-native path tracer.")
+    parser.add_argument("--obj_dir", type=str, default=None,
+                        help="directory of .obj meshes to ingest as props "
+                        "(wavefront renderer; reference: random model "
+                        "placement, sbmc/scene_generator/generators.py)")
     parser.add_argument("--kpcn_data", action="store_true", default=False,
                         help="record with the PathKPCNIntegrator "
                         "conventions (unnormalized distances/probabilities;"

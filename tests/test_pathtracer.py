@@ -93,6 +93,17 @@ class TestWavefront:
             if isinstance(v, np.ndarray):
                 assert np.isfinite(v).all(), k
 
+    def test_loads_through_dataset_nonsquare(self, tmp_path):
+        """tiles_y gives non-square frames (the 1080p-class end-to-end
+        denoise path uses a 15x9 grid)."""
+        pathtracer.generate_wavefront_dataset(
+            str(tmp_path), n_scenes=1, ts=16, tiles_per_side=3, tiles_y=2,
+            spp=2, gt_spp=2, seed=0)
+        d = TilesDataset(str(tmp_path), spp=2)
+        assert len(d) == 6
+        assert d.image_width == 48 and d.image_height == 32
+        assert np.isfinite(d[0]["features"]).all()
+
     def test_motion_blur_spreads_samples(self):
         """With motion, per-sample hit masks at different times differ."""
         still = _simple_scene(motion=0.0)
