@@ -22,7 +22,10 @@
 #
 # Usage: TRAIN_UNTIL=$(date -d '+9 hours' +%s) bash scripts/run_round3_hw.sh
 set -u
-cd "$(dirname "$0")/.."
+# REPO override: the driver is usually launched from a frozen copy in
+# /tmp (editing a running bash script corrupts its execution), so the
+# repo root cannot be derived from $0 there.
+cd "${REPO:-$(dirname "$0")/..}"
 LOG=${LOG:-/tmp/hw_round3}
 QDIR=${QDIR:-/tmp/qrun}
 TRAIN_UNTIL=${TRAIN_UNTIL:?set TRAIN_UNTIL (epoch seconds)}

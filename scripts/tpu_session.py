@@ -137,6 +137,48 @@ def validate(jax, jnp, ops):
               flush=True)
 
 
+def validate_bwd(jax, jnp, ops):
+    """Gradcheck the FUSED progressive-splat backward (the training
+    default) against the composed numpy derivation, at k=21 and a width
+    that exercises the VMEM-budgeted backward tile pick (_psb_pick_tw
+    landed during the round-2 tunnel outage with no on-chip run)."""
+    rng = np.random.RandomState(1)
+    print("== fused progressive backward vs numpy oracle ==", flush=True)
+    for k, h, w in [(5, 16, 128), (21, 32, 640)]:
+        data = rng.randn(1, 3, h, w).astype(np.float32)
+        lg = rng.randn(1, k * k, h, w).astype(np.float32)
+        sr0 = rng.randn(1, 3, h, w).astype(np.float32)
+        sw0 = np.abs(rng.randn(1, 1, h, w)).astype(np.float32)
+        mw0 = rng.randn(1, 1, h, w).astype(np.float32)
+        ct_r = rng.randn(1, 3, h, w).astype(np.float32)
+        ct_w = rng.randn(1, 1, h, w).astype(np.float32)
+
+        def f(d, l):
+            sr, sw, _ = ops.progressive_splat_update(
+                d, l, jnp.array(sr0), jnp.array(sw0), jnp.array(mw0),
+                backend="pallas")
+            return jnp.vdot(sr, ct_r) + jnp.vdot(sw, ct_w)
+
+        gd, gl = jax.jit(jax.grad(f, argnums=(0, 1)))(
+            jnp.array(data), jnp.array(lg))
+
+        # Composed numpy derivation (the VJP treats the softmax shift as a
+        # constant; see ops._psu_bwd).
+        g = np_s2g(lg)
+        new_max = np.maximum(g.max(1, keepdims=True), mw0)
+        e = np.exp(g - new_max)
+        d_r, d_w = ct_r, ct_w[:, 0]
+        gd_n = np_fwd(d_r, np_s2g(e))[0]
+        d_e_n = np.einsum("nckyx,ncyx->nkyx", np_patches(data, k),
+                          d_r) + d_w[:, None]
+        gl_n = np_s2g(e * d_e_n)
+
+        def md(a, b):
+            return float(np.abs(np.array(a) - b).max())
+        print(f" k={k} {h}x{w}: d_data {md(gd, gd_n):.2e} "
+              f"d_logits {md(gl, gl_n):.2e}", flush=True)
+
+
 def bench_ops(jax, jnp, ops, pallas_kernels):
     import jax
     print("== op micro-benchmarks (k=21, scan-chain timing) ==", flush=True)
@@ -335,6 +377,7 @@ def main(args):
     print("devices:", jax.devices(), flush=True)
     if args.validate:
         validate(jax, jnp, ops)
+        validate_bwd(jax, jnp, ops)
     if args.bench_ops:
         bench_ops(jax, jnp, ops, pallas_kernels)
     if args.train:
