@@ -6,7 +6,7 @@ CKPT_DIR ?= /tmp/sbmc_tpu_demo/ckpt
 OUT_DIR  ?= /tmp/sbmc_tpu_demo/output
 
 .PHONY: test test-fast test-slow demo/data demo/train demo/denoise demo/eval \
-	demo/visualize demo/train_kpcn demo/comparisons demo bench
+	demo/visualize demo/train_kpcn demo/comparisons demo demo/parity bench
 
 # Default suite: everything except interpret-mode Pallas runs (those are
 # orders of magnitude slower than the oracle off-TPU; run `make test-slow`
@@ -76,6 +76,22 @@ demo/comparisons:
 	  --output $(OUT_DIR)/4spp_nfor/scene_0000.exr --method nfor --spp 4
 
 demo: demo/data demo/train demo/denoise demo/eval
+
+# One-command parity check against the reference's released pretrained
+# weights (reference: Makefile:187,213-217). Blocked on this host only by
+# missing network egress (PARITY.md); armed so it runs the moment the
+# artifact is reachable (or dropped at $(PRETRAINED_DIR) manually).
+REMOTE ?= https://data.csail.mit.edu/graphics/sbmc
+PRETRAINED_DIR ?= /tmp/sbmc_tpu_demo/pretrained_models
+demo/parity: demo/data
+	python scripts/download.py $(REMOTE)/pretrained_models.zip \
+	  $(PRETRAINED_DIR).zip --extract
+	python scripts/convert_checkpoint.py \
+	  $(PRETRAINED_DIR)/gharbi2019_sbmc/final.pth \
+	  assets/parity/gharbi2019_sbmc_meta.json $(CKPT_DIR)_gharbi2019
+	python scripts/denoise.py --input $(DATA_DIR)/test \
+	  --checkpoint $(CKPT_DIR)_gharbi2019 \
+	  --output $(OUT_DIR)/4spp_pretrained/scene_0000.exr --spp 4
 
 bench:
 	python bench.py

@@ -41,7 +41,11 @@ class ProgressCallback(Callback):
 
     def __init__(self, interval=100):
         self.interval = interval
+        # Epoch-less loops (train_reservoir) emit batch_end without ever
+        # emitting epoch_start, so every field must be live from __init__.
+        self.epoch = 0
         self._t0 = None
+        self._n0 = None
         self._smooth = {}
 
     def epoch_start(self, epoch):
@@ -54,11 +58,14 @@ class ProgressCallback(Callback):
             v = float(v)
             self._smooth[k] = v if k not in self._smooth else \
                 0.99 * self._smooth[k] + 0.01 * v
+        if self._t0 is None:
+            self._t0 = time.time()
         if self._n0 is None:
             self._n0 = step
         if step % self.interval == 0:
             dt = time.time() - self._t0
-            rate = (step - self._n0 + 1) / max(dt, 1e-9)
+            # dt ~ 0 on the very first batch (when _t0 was set above).
+            rate = (step - self._n0) / dt if dt > 1e-3 else float("nan")
             msg = " ".join(f"{k}={v:.5g}" for k, v in self._smooth.items())
             LOG.info("epoch %d step %d | %s | %.2f steps/s",
                      self.epoch, step, msg, rate)
@@ -153,7 +160,14 @@ class DenoisingDisplayCallback(Callback):
         out = self.interface.model.apply(state.params, batch)
         rad = np.asarray(out["radiance"])[0].transpose(1, 2, 0)
         tgt = np.asarray(batch["target_image"])[0].transpose(1, 2, 0)
-        low = np.asarray(batch["low_spp"])[0].transpose(1, 2, 0)
+        if "low_spp" in batch:
+            low = np.asarray(batch["low_spp"])[0]
+        else:
+            # Batches trimmed to the train keys (reservoir TRAIN_KEYS)
+            # carry no precomputed low-spp average; it is just the
+            # sample mean of the raw radiance.
+            low = np.asarray(batch["radiance"])[0].mean(axis=0)
+        low = low.transpose(1, 2, 0)
 
         def center_crop(x, ref):
             dy = (x.shape[0] - ref.shape[0]) // 2

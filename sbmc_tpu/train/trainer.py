@@ -77,7 +77,7 @@ class Trainer:
 
     def train_reservoir(self, state, reservoir, feeder=None, max_steps=None,
                         refresh_every=1, val_dataloader=None,
-                        val_interval=2000):
+                        val_interval=2000, epoch_emit_every=1000):
         """Device-reservoir training loop (see train/reservoir.py).
 
         Per step: optionally refresh one HBM slot with a freshly decoded
@@ -105,6 +105,12 @@ class Trainer:
                     self.interface.check_finite(prev_metrics)
                     self._emit("batch_end", step - 1, prev_metrics)
                 prev_metrics = metrics
+                if step % epoch_emit_every == 0:
+                    # The reservoir loop has no epochs; fire epoch_end
+                    # every epoch_emit_every steps so epoch-driven
+                    # callbacks (display strips) still report during
+                    # long runs.
+                    self._emit("epoch_end", step // epoch_emit_every)
                 if step % 100 == 0:
                     import gc
                     gc.collect()

@@ -263,6 +263,19 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
             st4 = (st[0], st[1], st[2])
             report("fullyfused ", chain_timer(step_f, st4, (data, wts)))
 
+            # Fused progressive-splat BACKWARD (the training hot path;
+            # round-2 landed it during the outage with no on-chip
+            # timing). Consume both outputs so neither pallas_call is
+            # dead-code-eliminated; d_klogits dominates (k2-plane
+            # blocked output).
+            nmax = jnp.zeros((bs, 1, h, w))
+
+            def step_b(c, w, m):
+                dd, dl = pallas_kernels.progressive_splat_bwd_pallas(
+                    c, w, m, c, c[:, :1])
+                return dd + dl[:, :3]
+            report("fused_bwd  ", chain_timer(step_b, data, (wts, nmax)))
+
             # exp-vs-exp2 lowering A/B on the same kernel (the flag is
             # read at trace time, so flipping the module global and
             # tracing a fresh callable compiles the exp2 variant).

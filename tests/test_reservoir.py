@@ -92,3 +92,35 @@ class TestDeviceReservoir:
         state = trainer.train_reservoir(state, res, feeder=feeder,
                                         max_steps=6)
         assert int(np.asarray(state.step)) == 6
+
+    def test_trainer_loop_with_real_callback_suite(self, rng, tmp_path):
+        """The reservoir loop emits no epoch_start; the full callback set
+        scripts/train.py attaches must survive that (regression: the
+        2026-08-19 CPU smoke crashed in ProgressCallback.batch_end on an
+        uninitialized _n0 two steps into what would have been the big
+        hardware run)."""
+        from sbmc_tpu.train import Checkpointer, callbacks
+
+        iface = _small_interface(lr=1e-2)
+        items = _items(rng, 4)
+        res = DeviceReservoir(iface, capacity=4, batch_size=2)
+        res.fill(items)
+        first = _batch(rng, bs=2)
+        state = iface.init(jax.random.PRNGKey(0), first)
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), meta={"arch": "test"})
+        trainer = Trainer(iface, [
+            callbacks.ProgressCallback(interval=2),
+            callbacks.CheckpointingCallback(
+                ckpt, lambda: trainer.state, interval_steps=3),
+            callbacks.ScalarLogCallback(
+                str(tmp_path / "log.csv"), interval=2),
+            callbacks.DenoisingDisplayCallback(
+                iface, lambda: trainer.state, lambda: first,
+                str(tmp_path / "viz")),
+        ])
+        state = trainer.train_reservoir(state, res, max_steps=5,
+                                        epoch_emit_every=4)
+        assert int(np.asarray(state.step)) == 5
+        assert (tmp_path / "log.csv").exists()
+        # epoch_emit_every=4 -> one display strip + checkpoint epoch event
+        assert (tmp_path / "viz" / "epoch_0001.png").exists()
