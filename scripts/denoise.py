@@ -82,10 +82,22 @@ def main(args):
         ndev = args.num_devices or jax.local_device_count()
         ndev = min(ndev, n_tiles)
         if ndev == 1:
+            if not args.f32_transfer:
+                # Ship the dominant feature stack as float16 (halves the
+                # host->device bytes and its HBM residency; the training
+                # path already feeds f16-cached features, so precision is
+                # identical to the trained regime). Radiance stays f32
+                # (HDR range).
+                for k in stacked:
+                    if "features" in k or k.endswith("_in"):
+                        stacked[k] = stacked[k].astype(np.float16)
+
+            import jax.numpy as jnp
             mapped = jax.jit(lambda p, b: jax.lax.map(
                 lambda t: model.apply(
-                    p, jax.tree_util.tree_map(lambda x: x[None], t)
-                )["radiance"], b))
+                    p, {k: (v[None].astype(jnp.float32)
+                            if v.dtype == jnp.float16 else v[None])
+                        for k, v in t.items()})["radiance"], b))
             dev_batch = jax.device_put(stacked)
             jax.block_until_ready(dev_batch)
             t0 = time.time()
@@ -245,5 +257,11 @@ if __name__ == "__main__":
     parser.add_argument("--trace", type=str, default=None,
                         help="write a jax.profiler trace of the first scene"
                         " to this directory.")
+    parser.add_argument("--f32_transfer", action="store_true",
+                        help="upload feature stacks as float32 instead of "
+                        "the default float16 (single-device uniform-tile "
+                        "path; f16 halves host->device bytes and HBM "
+                        "residency, matching the f16-cached training "
+                        "feed).")
     parser.add_argument("--verbose", action="store_true")
     main(parser.parse_args())
