@@ -17,7 +17,8 @@ import os
 
 import numpy as np
 
-__all__ = ["load_obj", "normalize_mesh", "ObjPool"]
+__all__ = ["load_obj", "normalize_mesh", "ObjPool", "TexturePool",
+           "EnvmapPool"]
 
 
 def load_obj(path, max_faces=None):
@@ -111,3 +112,96 @@ class ObjPool:
             except (ValueError, OSError, IndexError):
                 self._bad.add(path)
         raise ValueError("every mesh in the pool failed to load")
+
+
+def _load_image(path):
+    """Read an image file into linear-RGB float32 [H, W, 3].
+
+    8-bit files (PNG/JPG) are assumed sRGB-encoded and linearized with the
+    gamma-2.2 approximation; EXR is linear already."""
+    if path.lower().endswith(".exr"):
+        from sbmc_tpu.utils import exr
+        im = np.asarray(exr.read(path), np.float32)
+    else:
+        import imageio.v2 as imageio
+        im = np.asarray(imageio.imread(path))
+        if im.dtype == np.uint8:
+            im = (im.astype(np.float32) / 255.0) ** 2.2
+        elif im.dtype == np.uint16:
+            im = (im.astype(np.float32) / 65535.0) ** 2.2
+        else:
+            im = im.astype(np.float32)
+    if im.ndim == 2:
+        im = im[:, :, None]
+    if im.shape[2] == 1:
+        im = np.repeat(im, 3, 2)
+    return np.ascontiguousarray(im[:, :, :3], np.float32)
+
+
+def _resample_nn(im, h, w):
+    """Nearest-neighbor resample (assets are noise-like training textures,
+    filtering quality is irrelevant; keeps the loader dependency-free)."""
+    ys = (np.arange(h) * im.shape[0] // h).clip(0, im.shape[0] - 1)
+    xs = (np.arange(w) * im.shape[1] // w).clip(0, im.shape[1] - 1)
+    return im[ys][:, xs]
+
+
+class _ImagePool:
+    """Shared lazy image-pool machinery (see TexturePool / EnvmapPool)."""
+
+    _exts = (".png", ".jpg", ".jpeg", ".exr")
+
+    def __init__(self, source):
+        if isinstance(source, (list, tuple)):
+            self.paths = list(source)
+        else:
+            self.paths = sorted(
+                os.path.join(r, n)
+                for r, _, names in os.walk(source)
+                for n in names if n.lower().endswith(self._exts))
+        if not self.paths:
+            raise ValueError(f"no image files under {source!r}")
+        self._cache = {}
+        self._bad = set()
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _prepare(self, im):
+        raise NotImplementedError
+
+    def _load(self, path):
+        if path not in self._cache:
+            self._cache[path] = self._prepare(_load_image(path))
+        return self._cache[path]
+
+    def sample(self, rng):
+        order = rng.permutation(len(self.paths))
+        for i in order:
+            path = self.paths[int(i)]
+            if path in self._bad:
+                continue
+            try:
+                return self._load(path)
+            except (ValueError, OSError, IndexError, ImportError):
+                self._bad.add(path)
+        raise ValueError("every image in the pool failed to load")
+
+
+class TexturePool(_ImagePool):
+    """Image textures for the tracer's Imagemap role: resampled to the
+    tracer's fixed ``TEX_IMG_RES`` square and clipped to [0, 1]."""
+
+    def _prepare(self, im):
+        from sbmc_tpu.render.pathtracer import TEX_IMG_RES
+        im = _resample_nn(im, TEX_IMG_RES, TEX_IMG_RES)
+        return np.clip(im, 0.0, 1.0)
+
+
+class EnvmapPool(_ImagePool):
+    """Equirectangular HDR environment images (2:1 aspect enforced by
+    resampling to 64x128); negative values clipped, HDR range kept."""
+
+    def _prepare(self, im):
+        im = _resample_nn(im, 64, 128)
+        return np.maximum(im, 0.0)

@@ -54,7 +54,8 @@ from sbmc_tpu.data import bin_format
 __all__ = ["TracerScene", "random_tracer_scene", "render_pass",
            "render_tile_wavefront", "generate_wavefront_dataset",
            "MAT_DIFFUSE", "MAT_MIRROR", "MAT_GLASS", "MAT_METAL",
-           "MAT_PLASTIC", "TEX_CHECKER3D", "TEX_NOISE", "TEX_STRIPES"]
+           "MAT_PLASTIC", "TEX_CHECKER3D", "TEX_NOISE", "TEX_STRIPES",
+           "N_TEX_IMAGES", "TEX_IMG_RES"]
 
 MAX_DEPTH = bin_format.PATH_DEPTH  # 6 vertices: camera hit + 5 bounces
 
@@ -88,6 +89,13 @@ MAT_PLASTIC = 4
 TEX_CHECKER3D = 0
 TEX_NOISE = 1      # 2-octave hash-lattice value noise (image-map role)
 TEX_STRIPES = 2
+
+#: Per-scene image-texture slots (static count: a jit cache key). Scenes
+#: with fewer images pad with zeros; slots are referenced by
+#: ``tex_image_id`` (-1 = procedural/flat only).
+N_TEX_IMAGES = 4
+#: Side of every image texture (square, wrap-addressed).
+TEX_IMG_RES = 64
 
 #: Share of plastic samples that pick the diffuse base lobe (vs the coat).
 _PLASTIC_DIFFUSE_P = 0.7
@@ -171,6 +179,20 @@ class TracerScene:
         default_factory=lambda: np.zeros((0, 3)))
     env_exps: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0,)))
+    #: Image textures loaded from disk (the reference's Imagemap /
+    #: random texture files, sbmc/scene_generator/textures.py:30-139,
+    #: randomizers.py:27-93): [n <= N_TEX_IMAGES, TEX_IMG_RES,
+    #: TEX_IMG_RES, 3] linear RGB in [0, 1]; padded to N_TEX_IMAGES
+    #: slots on device. ``None`` ships a 0-slot array (separate jit
+    #: variant with zero gather cost).
+    tex_images: Optional[np.ndarray] = None
+    tex_image_id: Optional[np.ndarray] = None  # [p] int32; -1 = none
+    ground_tex_image_id: int = -1
+    #: Equirectangular HDR environment image [EH, EW, 3] (the reference's
+    #: random HDR envmaps, randomizers.py random_envmap); added to the
+    #: gradient sky when present.
+    env_image: Optional[np.ndarray] = None
+    env_image_scale: float = 1.0
 
     def _n_prims(self):
         return (self.centers.shape[0] + self.box_centers.shape[0]
@@ -215,6 +237,25 @@ class TracerScene:
             ec = np.concatenate([ec, np.zeros((N_ENV_LOBES - m, 3),
                                               np.float32)])
             ee = np.concatenate([ee, np.ones(N_ENV_LOBES - m, np.float32)])
+        # Image textures: pad to the static N_TEX_IMAGES slot count (one
+        # jit variant for any textured scene, a separate zero-slot
+        # variant when the pool is off).
+        if self.tex_images is not None and len(self.tex_images):
+            ti = np.asarray(self.tex_images, np.float32)
+            if ti.shape[1:] != (TEX_IMG_RES, TEX_IMG_RES, 3):
+                raise ValueError("tex_images must be [n, %d, %d, 3], got %s"
+                                 % (TEX_IMG_RES, TEX_IMG_RES, ti.shape))
+            ti = ti[:N_TEX_IMAGES]
+            if ti.shape[0] < N_TEX_IMAGES:
+                ti = np.concatenate([ti, np.zeros(
+                    (N_TEX_IMAGES - ti.shape[0],) + ti.shape[1:],
+                    np.float32)])
+        else:
+            ti = np.zeros((0, TEX_IMG_RES, TEX_IMG_RES, 3), np.float32)
+        tid = (np.full(p, -1, np.int32) if self.tex_image_id is None
+               else np.asarray(fit(self.tex_image_id, (p,), -1), np.int32))
+        ei = (np.zeros((0, 0, 3), np.float32) if self.env_image is None
+              else np.asarray(self.env_image, np.float32))
         # Column -> primitive-slot map for the concatenated hit candidates
         # (spheres, boxes, cylinders are their own slot; each triangle maps
         # to its mesh's slot).
@@ -249,6 +290,11 @@ class TracerScene:
             "tex_kind": jnp.asarray(kind, jnp.int32),
             "ground_tex_kind": jnp.int32(self.ground_tex_kind),
             "ground_tex_scale": jnp.float32(self.ground_tex_scale),
+            "tex_images": jnp.asarray(ti, jnp.float32),
+            "tex_image_id": jnp.asarray(tid, jnp.int32),
+            "ground_tex_image_id": jnp.int32(self.ground_tex_image_id),
+            "env_image": jnp.asarray(ei, jnp.float32),
+            "env_image_scale": jnp.float32(self.env_image_scale),
             "ground_albedo": jnp.asarray(self.ground_albedo, jnp.float32),
             "light_pos": jnp.asarray(self.light_pos, jnp.float32),
             "light_radius": jnp.float32(self.light_radius),
@@ -332,7 +378,9 @@ def _place_mesh(rng, verts):
 
 
 def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
-                        obj_pool=None, obj_prob=0.6, tri_bucket=64):
+                        obj_pool=None, obj_prob=0.6, tri_bucket=64,
+                        tex_pool=None, img_prob=0.5, env_pool=None,
+                        env_img_prob=0.4):
     """Sample a random scene with the reference's material-mixture spirit
     (sbmc/scene_generator/randomizers.py:194-227: 5% mirror, 5% glass,
     10% metal, 20% plastic, 10% substrate, 30% uber, 20% diffuse — the
@@ -344,6 +392,14 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
     placement, sbmc/scene_generator/generators.py). Triangle arrays are
     padded with degenerate (never-hit) triangles to a multiple of
     ``tri_bucket`` so scenes with different meshes share XLA compilations.
+
+    ``tex_pool`` (:class:`sbmc_tpu.render.assets.TexturePool`) draws up to
+    ``N_TEX_IMAGES`` image textures per scene and assigns them to textured
+    slots (and the ground) with probability ``img_prob`` — the reference's
+    randomized Imagemap materials (randomizers.py:27-93, 99% of materials
+    textured). ``env_pool`` (:class:`EnvmapPool`) substitutes an equirect
+    HDR image for the procedural envmap lobes with probability
+    ``env_img_prob`` (randomizers.py random_envmap).
     """
     p = n_spheres + n_boxes + n_cyls + n_meshes
     mat = rng.choice(
@@ -362,6 +418,25 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
     env_dirs[:, 1] = np.abs(env_dirs[:, 1]) + 0.1
     env_colors = rng.uniform(0.2, 2.5, (n_lobes, 3)) * env_on
     env_exps = np.exp(rng.uniform(np.log(2.0), np.log(64.0), n_lobes))
+    env_image = None
+    env_image_scale = 1.0
+    if env_pool is not None and rng.rand() < env_img_prob:
+        env_image = env_pool.sample(rng)
+        env_image_scale = float(np.exp(rng.uniform(np.log(0.3),
+                                                   np.log(2.0))))
+        env_colors = env_colors * 0.0      # the image replaces the lobes
+
+    tex_images = None
+    tex_image_id = None
+    ground_tex_image_id = -1
+    if tex_pool is not None:
+        n_img = int(rng.randint(1, N_TEX_IMAGES + 1))
+        tex_images = np.stack([tex_pool.sample(rng) for _ in range(n_img)])
+        tex_image_id = np.where(
+            rng.rand(p) < img_prob, rng.randint(0, n_img, p),
+            -1).astype(np.int32)
+        if rng.rand() < img_prob:
+            ground_tex_image_id = int(rng.randint(0, n_img))
 
     centers = np.stack([rng.uniform(-3, 3, n_spheres),
                         rng.uniform(0.4, 2.5, n_spheres),
@@ -470,6 +545,11 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
         env_dirs=env_dirs,
         env_colors=env_colors,
         env_exps=env_exps,
+        tex_images=tex_images,
+        tex_image_id=tex_image_id,
+        ground_tex_image_id=ground_tex_image_id,
+        env_image=env_image,
+        env_image_scale=env_image_scale,
         fov=float(rng.uniform(25, 60)),
         aperture=(float(np.exp(rng.uniform(np.log(1e-3), np.log(0.05))))
                   if rng.rand() < 0.5 else 0.0),
@@ -701,6 +781,27 @@ def _intersect(scn, org, dirs, t):
     mod = _tex_mod(scn["tex_kind"][slot], p * freq[:, None],
                    slot.astype(jnp.float32) * 2.39996)
     a_prim = jnp.where((freq > 0)[:, None], a_prim * mod[:, None], a_prim)
+    if scn["tex_images"].shape[0] > 0:
+        # Image textures from disk (Imagemap role): RGB modulation of the
+        # slot albedo, planar-projected along the dominant geometric-normal
+        # axis (cheap, single bilinear gather; projection distortion on
+        # slanted faces is acceptable scene variety for training data).
+        tid = scn["tex_image_id"][slot]
+        iscale = jnp.where(freq > 0, freq, 1.0)
+        qi = p * iscale[:, None]
+        axis = jnp.argmax(jnp.abs(n_geo), axis=1)
+        u = jnp.where(axis == 0, qi[:, 1], qi[:, 0])
+        v = jnp.where(axis == 2, qi[:, 1], qi[:, 2])
+        rgb = _sample_image_stack(scn["tex_images"], tid, u, v)
+        a_prim = jnp.where((tid >= 0)[:, None],
+                           scn["albedos"][slot] * rgb, a_prim)
+        gid = scn["ground_tex_image_id"]
+        g_rgb = _sample_image_stack(
+            scn["tex_images"],
+            jnp.broadcast_to(gid, slot.shape).astype(jnp.int32),
+            g_q[:, 0], g_q[:, 2])
+        g_alb = jnp.where(gid >= 0,
+                          scn["ground_albedo"][None] * g_rgb, g_alb)
     albedo = jnp.where(hit_prim[:, None], a_prim, g_alb)
     albedo = jnp.where(hit[:, None], albedo, 0.0)
 
@@ -752,6 +853,56 @@ def _value_noise(q):
                      * (f[:, 2] if dz else 1 - f[:, 2]))
                 n = n + w * corner(dx, dy, dz)
     return n
+
+
+def _bilinear_gather(flat_rgb, row, col, h, w, base, wrap_rows):
+    """Bilinear lookup into a flattened [*, 3] image at fractional (row,
+    col) pixel coords; ``base`` [N] offsets into a stacked image array.
+    Columns always wrap; rows wrap or clamp (equirect poles)."""
+    r0 = jnp.floor(row)
+    c0 = jnp.floor(col)
+    fr = (row - r0)[:, None]
+    fc = (col - c0)[:, None]
+
+    def at(ri, ci):
+        ri = ri.astype(jnp.int32)
+        ci = jnp.mod(ci.astype(jnp.int32), w)
+        ri = jnp.mod(ri, h) if wrap_rows else jnp.clip(ri, 0, h - 1)
+        return flat_rgb[base + ri * w + ci]
+
+    return (at(r0, c0) * (1 - fr) * (1 - fc)
+            + at(r0, c0 + 1) * (1 - fr) * fc
+            + at(r0 + 1, c0) * fr * (1 - fc)
+            + at(r0 + 1, c0 + 1) * fr * fc)
+
+
+def _sample_image_stack(images, ids, u, v):
+    """Wrap-addressed bilinear sample of per-ray image slots.
+
+    ``images`` [T, S, S, 3]; ``ids`` [N] int32 (callers mask invalid ids
+    themselves — they are clipped here so the gather stays in bounds);
+    ``u, v`` [N] unbounded texture coords (1.0 = one tile repeat).
+    """
+    t, s = images.shape[0], images.shape[1]
+    flat = images.reshape(-1, 3)
+    base = jnp.clip(ids, 0, t - 1) * (s * s)
+    row = (v % 1.0) * s - 0.5
+    col = (u % 1.0) * s - 0.5
+    return _bilinear_gather(flat, row, col, s, s, base, wrap_rows=True)
+
+
+def _sample_equirect(img, d):
+    """Equirectangular lookup for directions [N, 3] (the reference's HDR
+    envmap role): u from atan2(z, x), v from acos(y); rows clamp at the
+    poles, columns wrap in azimuth."""
+    eh, ew = img.shape[0], img.shape[1]
+    u = jnp.arctan2(d[:, 2], d[:, 0]) / (2 * jnp.pi) + 0.5
+    v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi
+    row = v * eh - 0.5
+    col = (u % 1.0) * ew - 0.5
+    base = jnp.zeros(d.shape[0], jnp.int32)
+    return _bilinear_gather(img.reshape(-1, 3), row, col, eh, ew, base,
+                            wrap_rows=False)
 
 
 def _tex_mod(kind, q, phase):
@@ -863,7 +1014,14 @@ def _sky_radiance(scn, d):
     sun = scn["sun_color"][None] * (cos_sun[:, None] ** scn["sun_exp"])
     cos_l = jnp.maximum(d @ scn["env_dirs"].T, 0.0)       # [N, M]
     lobes = (cos_l ** scn["env_exps"][None]) @ scn["env_colors"]
-    return base + sun + lobes
+    out = base + sun + lobes
+    if scn["env_image"].shape[0] > 0:
+        # Equirect HDR environment image from disk (the reference's random
+        # HDR envmaps); the scene generator zeroes the procedural lobes
+        # when it picks an image.
+        out = out + _sample_equirect(scn["env_image"],
+                                     d) * scn["env_image_scale"]
+    return out
 
 
 def _power_w(pdf_a, pdf_b):
@@ -1293,7 +1451,7 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
 def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
                                spp=8, gt_spp=64, seed=0, start_index=0,
                                key=None, kpcn_mode=False, obj_pool=None,
-                               tiles_y=None):
+                               tiles_y=None, tex_pool=None, env_pool=None):
     """Write a folder-of-scenes dataset rendered by the wavefront tracer
     (drop-in replacement for the PBRT data-generation path when no external
     renderer is available, or to generate data directly on TPU).
@@ -1314,7 +1472,8 @@ def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
     for s in range(n_scenes):
         idx = start_index + s
         rng = np.random.RandomState(seed + idx)
-        scene = random_tracer_scene(rng, obj_pool=obj_pool)
+        scene = random_tracer_scene(rng, obj_pool=obj_pool,
+                                    tex_pool=tex_pool, env_pool=env_pool)
         sdir = os.path.join(outdir, "scene_%05d" % idx)
         os.makedirs(sdir, exist_ok=True)
         if s and s % 10 == 0:

@@ -214,13 +214,26 @@ def main(args):
             obj_pool = ObjPool(args.obj_dir)
             LOG.info("ObjPool: %d meshes from %s", len(obj_pool),
                      args.obj_dir)
+        tex_pool = None
+        if args.tex_dir:
+            from sbmc_tpu.render.assets import TexturePool
+            tex_pool = TexturePool(args.tex_dir)
+            LOG.info("TexturePool: %d images from %s", len(tex_pool),
+                     args.tex_dir)
+        env_pool = None
+        if args.env_dir:
+            from sbmc_tpu.render.assets import EnvmapPool
+            env_pool = EnvmapPool(args.env_dir)
+            LOG.info("EnvmapPool: %d envmaps from %s", len(env_pool),
+                     args.env_dir)
         pathtracer.generate_wavefront_dataset(
             args.output, n_scenes=count, ts=args.tile_size,
             tiles_per_side=args.width // args.tile_size,
             tiles_y=args.height // args.tile_size, spp=args.spp,
             gt_spp=args.gt_spp,
             start_index=args.start_index + args.worker_id,
-            seed=0, kpcn_mode=args.kpcn_data, obj_pool=obj_pool)
+            seed=0, kpcn_mode=args.kpcn_data, obj_pool=obj_pool,
+            tex_pool=tex_pool, env_pool=env_pool)
         return
 
     LOG.info("Starting job on worker %d of %d with %d threads",
@@ -265,6 +278,16 @@ if __name__ == "__main__":
                         choices=["pbrt", "wavefront"],
                         help="'pbrt': external instrumented renderer; "
                         "'wavefront': built-in TPU-native path tracer.")
+    parser.add_argument("--tex_dir", type=str, default=None,
+                        help="directory of image textures (png/jpg/exr) "
+                        "randomly assigned to materials and the ground "
+                        "(wavefront renderer; the reference's Imagemap "
+                        "randomization, randomizers.py:27-93).")
+    parser.add_argument("--env_dir", type=str, default=None,
+                        help="directory of equirect HDR envmaps (exr/png) "
+                        "randomly substituted for the procedural sky lobes "
+                        "(wavefront renderer; randomizers.py "
+                        "random_envmap).")
     parser.add_argument("--obj_dir", type=str, default=None,
                         help="directory of .obj meshes to ingest as props "
                         "(wavefront renderer; reference: random model "

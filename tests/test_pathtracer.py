@@ -1,5 +1,7 @@
 """Tests for the TPU-native wavefront path tracer."""
 
+import os
+
 import jax
 import numpy as np
 
@@ -536,3 +538,125 @@ class TestTriangleMeshes:
         tile = render_tile_wavefront(scene, jax.random.PRNGKey(16), ts=16,
                                      spp=2, gt_spp=2)
         assert np.isfinite(tile.features).all()
+
+
+class TestImageTextures:
+    """Image textures / HDR envmaps from disk (the reference's Imagemap +
+    random_envmap roles, sbmc/scene_generator/textures.py:30-139,
+    randomizers.py:27-93)."""
+
+    def test_sample_image_stack_exact_at_pixel_centers(self):
+        import jax.numpy as jnp
+        s = pathtracer.TEX_IMG_RES
+        rng = np.random.RandomState(0)
+        img = rng.rand(2, s, s, 3).astype(np.float32)
+        ij = [(0, 0), (3, 7), (s - 1, s - 1), (10, 0)]
+        u = jnp.array([(j + 0.5) / s for _, j in ij], jnp.float32)
+        v = jnp.array([(i + 0.5) / s for i, _ in ij], jnp.float32)
+        ids = jnp.array([0, 1, 0, 1], jnp.int32)
+        out = np.asarray(pathtracer._sample_image_stack(
+            jnp.asarray(img), ids, u, v))
+        expect = np.stack([img[t, i, j]
+                           for t, (i, j) in zip([0, 1, 0, 1], ij)])
+        np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-6)
+        # Wrap addressing: +1 in u and +2 in v sample the same texels.
+        out_w = np.asarray(pathtracer._sample_image_stack(
+            jnp.asarray(img), ids, u + 1.0, v + 2.0))
+        np.testing.assert_allclose(out_w, out, rtol=1e-4, atol=1e-5)
+
+    def test_ground_image_texture_colors_albedo(self):
+        s = _simple_scene()
+        s.centers = np.array([[100.0, 1.0, 5.0]])   # sphere out of view
+        img = np.zeros((1, pathtracer.TEX_IMG_RES, pathtracer.TEX_IMG_RES,
+                        3), np.float32)
+        img[..., 1] = 1.0                            # constant green
+        s.tex_images = img
+        s.ground_tex_image_id = 0
+        t = render_tile_wavefront(s, jax.random.PRNGKey(41), ts=24,
+                                  spp=1, gt_spp=1)
+        i_r = pathtracer.SAMPLE_FEATURE_IDX["albedo_first_r"]
+        i_g = pathtracer.SAMPLE_FEATURE_IDX["albedo_first_g"]
+        i_n = pathtracer.SAMPLE_FEATURE_IDX["normal_first_y"]
+        hit = t.features[0, pathtracer.SAMPLE_FEATURE_IDX["hasHit"]] > 0.5
+        ground = hit & (np.abs(t.features[0, i_n] - 1.0) < 1e-3)
+        assert ground.sum() > 100
+        # ground_albedo 0.5 * (0, 1, 0) image
+        assert np.abs(t.features[0, i_r][ground]).max() < 1e-5
+        np.testing.assert_allclose(t.features[0, i_g][ground], 0.5,
+                                   atol=1e-4)
+
+    def test_object_image_texture_varies_and_leaves_others_flat(self):
+        s = _simple_scene()
+        rng = np.random.RandomState(3)
+        img = rng.rand(1, pathtracer.TEX_IMG_RES, pathtracer.TEX_IMG_RES,
+                       3).astype(np.float32)
+        s.tex_images = img
+        s.tex_image_id = np.array([0], np.int32)
+        t = render_tile_wavefront(s, jax.random.PRNGKey(42), ts=24,
+                                  spp=1, gt_spp=1)
+        i_r = pathtracer.SAMPLE_FEATURE_IDX["albedo_first_r"]
+        i_n = pathtracer.SAMPLE_FEATURE_IDX["normal_first_y"]
+        hit = t.features[0, pathtracer.SAMPLE_FEATURE_IDX["hasHit"]] > 0.5
+        sphere = hit & (np.abs(t.features[0, i_n] - 1.0) > 1e-3)
+        assert sphere.sum() > 20
+        a = t.features[0, i_r][sphere]
+        assert a.std() > 0.01                      # image varies albedo
+        assert np.all(a <= 0.8 + 1e-5)             # modulation only dims
+        # With id -1 the same scene stays flat.
+        s2 = _simple_scene()
+        s2.tex_images = img
+        s2.tex_image_id = np.array([-1], np.int32)
+        t2 = render_tile_wavefront(s2, jax.random.PRNGKey(42), ts=24,
+                                   spp=1, gt_spp=1)
+        a2 = t2.features[0, i_r][sphere]
+        assert a2.std() < 1e-6
+
+    def test_env_image_tints_escaping_rays(self):
+        import jax.numpy as jnp
+        s = _simple_scene()
+        env = np.zeros((64, 128, 3), np.float32)
+        env[..., 0] = 2.0                            # red dome
+        s.env_image = env
+        s.env_image_scale = 1.0
+        scn = s.as_jax()
+        d = jnp.asarray(np.array([[0.0, 1.0, 0.0], [0.7, 0.1, 0.7]],
+                                 np.float32))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        rad = np.asarray(pathtracer._sky_radiance(scn, d))
+        base = np.asarray(pathtracer._sky_radiance(_simple_scene().as_jax(),
+                                                   d))
+        np.testing.assert_allclose(rad[:, 0] - base[:, 0], 2.0, atol=1e-4)
+        np.testing.assert_allclose(rad[:, 1:], base[:, 1:], atol=1e-5)
+
+    def test_pools_load_committed_assets(self):
+        from sbmc_tpu.render.assets import EnvmapPool, TexturePool
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets")
+        rng = np.random.RandomState(0)
+        tp = TexturePool(os.path.join(root, "textures"))
+        im = tp.sample(rng)
+        assert im.shape == (pathtracer.TEX_IMG_RES, pathtracer.TEX_IMG_RES,
+                            3)
+        assert im.min() >= 0.0 and im.max() <= 1.0 and im.std() > 0.01
+        ep = EnvmapPool(os.path.join(root, "envmaps"))
+        env = ep.sample(rng)
+        assert env.shape == (64, 128, 3)
+        assert env.min() >= 0.0 and np.isfinite(env).all()
+
+    def test_random_scene_with_pools_renders(self):
+        from sbmc_tpu.render.assets import EnvmapPool, TexturePool
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets")
+        rng = np.random.RandomState(11)
+        scene = random_tracer_scene(
+            rng, tex_pool=TexturePool(os.path.join(root, "textures")),
+            env_pool=EnvmapPool(os.path.join(root, "envmaps")),
+            img_prob=1.0, env_img_prob=1.0)
+        assert scene.tex_images is not None
+        assert (np.asarray(scene.tex_image_id) >= 0).all()
+        assert scene.env_image is not None
+        assert float(np.abs(scene.env_colors).sum()) == 0.0
+        tile = render_tile_wavefront(scene, jax.random.PRNGKey(43), ts=16,
+                                     spp=2, gt_spp=2)
+        assert np.isfinite(tile.features).all()
+        assert np.isfinite(tile.pixel_data).all()
