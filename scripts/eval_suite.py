@@ -160,6 +160,25 @@ def main(args):
         gdir = os.path.join(args.output, "gt")
         os.makedirs(gdir, exist_ok=True)
         exr.write(os.path.join(gdir, scene + ".exr"), gt)
+
+        def tonemap8(im):
+            im = np.clip(im, 0, None)
+            return (np.clip((im / (1 + im)) ** (1 / 2.2), 0, 1)
+                    * 255).astype(np.uint8)
+
+        if args.png:
+            # One [gt | input | methods...] strip per scene for visual
+            # inspection (the reference's visdom gallery role).
+            import imageio.v2 as imageio
+            strip = np.concatenate(
+                [tonemap8(gt)] + [tonemap8(outs[m]) for m in methods],
+                axis=1)
+            pdir = os.path.join(args.output, "png")
+            os.makedirs(pdir, exist_ok=True)
+            imageio.imwrite(os.path.join(pdir, scene + ".png"), strip)
+            if scene_id == 0:
+                with open(os.path.join(pdir, "columns.txt"), "w") as f:
+                    f.write("gt " + " ".join(methods) + "\n")
         # Score on the interior: the model cannot produce its receptive-
         # field border (re-padded with zeros for stitching), so a border of
         # `pad` pixels is excluded from every method — the reference's
@@ -244,6 +263,9 @@ if __name__ == "__main__":
     parser.add_argument("--spp", type=int, default=4)
     parser.add_argument("--tile_size", type=int, default=512)
     parser.add_argument("--tile_pad", type=int, default=64)
+    parser.add_argument("--png", action="store_true",
+                        help="also write a tonemapped [gt|methods...] "
+                        "comparison strip per scene under <output>/png.")
     parser.add_argument("--pad", type=int, default=21,
                         help="border excluded from metrics (reference "
                         "protocol: sbmc/evaluation.py pad=21).")
