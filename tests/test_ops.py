@@ -424,3 +424,32 @@ def test_psb_pick_tw_respects_vmem_budget():
     # Small k2 leaves headroom: the picker must then minimize padding
     # (w=1056 pads to 1152 at TW=128 but 1536 at TW=512).
     assert _round_up(1056, _psb_pick_tw(1056, 25, 4)) == 1152
+
+
+def test_fused_update_exp2_variant_matches(rng, monkeypatch):
+    """The SBMC_PALLAS_EXP2 lowering (exp(x) as exp2(x*log2 e), the
+    on-chip A/B knob in scripts/tpu_session.py) must be numerically
+    equivalent to the exp lowering — guard so flipping the default after
+    a hardware win cannot change results."""
+    from sbmc_tpu.ops import pallas_kernels
+
+    h, w, k = 12, 40, 3
+    data = jnp.array(rng.randn(1, 3, h, w), jnp.float32)
+    wts = jnp.array(rng.randn(1, k * k, h, w), jnp.float32)
+    st = (jnp.array(rng.randn(1, 3, h, w), jnp.float32),
+          jnp.array(np.abs(rng.randn(1, 1, h, w)), jnp.float32),
+          jnp.array(rng.randn(1, 1, h, w), jnp.float32))
+
+    def run():
+        # Fresh traces each call: the flag is read at trace time.
+        return jax.jit(
+            lambda d, wt, a, b, c: pallas_kernels
+            .progressive_splat_fused_pallas(d, wt, a, b, c,
+                                            interpret=True))(data, wts, *st)
+
+    base = run()
+    monkeypatch.setattr(pallas_kernels, "_USE_EXP2", True)
+    alt = run()
+    for x, y in zip(base, alt):
+        assert np.allclose(np.array(x), np.array(y), atol=2e-5), \
+            np.abs(np.array(x) - np.array(y)).max()
