@@ -122,12 +122,13 @@ class DeviceReservoir:
                 f"need {self.capacity} tiles to fill the reservoir, got "
                 f"{len(items)}; lower --device_reservoir")
         stacked = {}
-        first = self._item_arrays(items[0])
-        for k, v0 in first.items():
+        # Convert each item exactly once (the f16 cast is the expensive
+        # part); index the cached dicts when stacking per key.
+        items_np = [self._item_arrays(it) for it in items[:self.capacity]]
+        for k, v0 in items_np[0].items():
             buf = np.empty((self.capacity,) + v0.shape, v0.dtype)
-            buf[0] = v0
-            for i in range(1, self.capacity):
-                buf[i] = self._item_arrays(items[i])[k]
+            for i in range(self.capacity):
+                buf[i] = items_np[i][k]
             stacked[k] = buf
         self._bufs = {k: jax.device_put(v) for k, v in stacked.items()}
         for v in self._bufs.values():

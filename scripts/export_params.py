@@ -46,9 +46,13 @@ def export(args):
     tmpl = TrainState(params=params, opt_state=iface.tx.init(params),
                       step=np.zeros((), np.int32))
     ckpt = Checkpointer(args.src)
-    state, step = ckpt.load_latest(tmpl)
-    if step is None:
+    state, step = (None, None)
+    if args.tag is not None:
+        # An explicitly requested tag (e.g. a curated "final"/"best"
+        # snapshot) wins over rotating step checkpoints.
         state, step = ckpt.load_tag(tmpl, args.tag)
+    if step is None:
+        state, step = ckpt.load_latest(tmpl)
     if step is None:
         raise SystemExit("no checkpoint found in %s" % args.src)
     f16 = jax.tree_util.tree_map(
@@ -116,7 +120,9 @@ if __name__ == "__main__":
     pe = sub.add_parser("export")
     pe.add_argument("src", help="checkpoint directory")
     pe.add_argument("dst", help="snapshot output directory")
-    pe.add_argument("--tag", default="final")
+    pe.add_argument("--tag", default=None,
+                    help="prefer this tagged checkpoint (e.g. 'final'); "
+                    "default: latest numbered step checkpoint.")
     pi = sub.add_parser("import")
     pi.add_argument("src", help="snapshot directory")
     pi.add_argument("dst", help="checkpoint directory to create")

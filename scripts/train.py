@@ -165,8 +165,16 @@ def main(args):
         feeder = None
         if cap < len(data):
             feeder = ReservoirFeeder(data, depth=2).start()
+        max_steps = args.max_steps
+        if max_steps is None and args.num_epochs is not None:
+            # The reservoir loop is step-based; honor --num_epochs by
+            # converting it to the equivalent step budget so semantics
+            # match the host-loader branch instead of looping forever.
+            max_steps = max(1, args.num_epochs * len(data) // args.bs)
+            log.info("Reservoir: --num_epochs %d -> max_steps %d",
+                     args.num_epochs, max_steps)
         trainer.train_reservoir(state, reservoir, feeder=feeder,
-                                max_steps=args.max_steps,
+                                max_steps=max_steps,
                                 val_dataloader=val_loader)
     else:
         trainer.train(state, loader, num_epochs=args.num_epochs,

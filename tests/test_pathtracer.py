@@ -660,3 +660,65 @@ class TestImageTextures:
                                      spp=2, gt_spp=2)
         assert np.isfinite(tile.features).all()
         assert np.isfinite(tile.pixel_data).all()
+
+
+class TestTriangleMXUFormulation:
+    """The MXU plane+dual-basis triangle test must agree with a direct
+    Moeller-Trumbore oracle (the formulation it replaced) on random ray x
+    triangle products, including motion blur and backface/inside flags."""
+
+    @staticmethod
+    def _mt_oracle(scn, org, dirs, t):
+        e1, e2 = scn["tri_e1"], scn["tri_e2"]
+        off = t[:, None, None] * np.asarray(scn["motion"])[
+            np.asarray(scn["tri_prim"])][None]
+        o = org[:, None, :] - np.asarray(scn["tri_v0"])[None] - off
+        d = dirs[:, None, :]
+        pvec = np.cross(d, np.asarray(e2)[None])
+        det = np.sum(pvec * np.asarray(e1)[None], -1)
+        inv_det = np.where(np.abs(det) > 1e-9, 1.0 / np.where(
+            np.abs(det) > 1e-9, det, 1.0), 0.0)
+        u = np.sum(o * pvec, -1) * inv_det
+        qvec = np.cross(o, np.asarray(e1)[None])
+        v = np.sum(d * qvec, -1) * inv_det
+        ts = np.sum(np.asarray(e2)[None] * qvec, -1) * inv_det
+        ok = ((np.abs(det) > 1e-9) & (u >= 0) & (v >= 0) & (u + v <= 1)
+              & (ts > 1e-3))
+        ts = np.where(ok, ts, 1e10)
+        return ts, ok & (det < 0), u, v
+
+    def test_matches_moeller_trumbore_on_random_product(self):
+        import jax.numpy as jnp
+        rng = np.random.RandomState(3)
+        nt, n = 37, 256
+        v0 = rng.randn(nt, 3).astype(np.float32) * 2
+        e1 = rng.randn(nt, 3).astype(np.float32)
+        e2 = rng.randn(nt, 3).astype(np.float32)
+        motion = rng.randn(nt, 3).astype(np.float32) * 0.1
+        scn = {"tri_v0": jnp.asarray(v0), "tri_e1": jnp.asarray(e1),
+               "tri_e2": jnp.asarray(e2),
+               "tri_prim": jnp.arange(nt, dtype=jnp.int32),
+               "motion": jnp.asarray(motion)}
+        org = rng.randn(n, 3).astype(np.float32) * 3
+        dirs = rng.randn(n, 3).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        t = rng.rand(n).astype(np.float32)
+        ts, inside = pathtracer._tri_ts(scn, jnp.asarray(org),
+                                        jnp.asarray(dirs), jnp.asarray(t))
+        ts_ref, inside_ref, u, v = self._mt_oracle(
+            {k: np.asarray(val) for k, val in scn.items()}, org, dirs, t)
+        ts = np.asarray(ts)
+        # Skip pairs within a whisker of a barycentric/epsilon boundary
+        # (both formulations are correct there, they may just disagree on
+        # which side of the edge the f32 rounding lands).
+        margin = 1e-3
+        stable = ((np.abs(u) > margin) & (np.abs(v) > margin)
+                  & (np.abs(u + v - 1) > margin)
+                  & (np.abs(ts_ref - 1e-3) > margin))
+        hit_ref = ts_ref < 1e9
+        agree = (ts < 1e9) == hit_ref
+        assert agree[stable].all()
+        both = stable & hit_ref & (ts < 1e9)
+        np.testing.assert_allclose(ts[both], ts_ref[both], rtol=2e-4,
+                                   atol=2e-4)
+        assert (np.asarray(inside)[both] == inside_ref[both]).all()
