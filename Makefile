@@ -6,7 +6,8 @@ CKPT_DIR ?= /tmp/sbmc_tpu_demo/ckpt
 OUT_DIR  ?= /tmp/sbmc_tpu_demo/output
 
 .PHONY: test test-fast test-slow demo/data demo/train demo/denoise demo/eval \
-	demo/visualize demo/train_kpcn demo/comparisons demo demo/parity bench
+	demo/visualize demo/train_kpcn demo/comparisons demo demo/parity \
+	demo/pretrained bench
 
 # Default suite: everything except interpret-mode Pallas runs (those are
 # orders of magnitude slower than the oracle off-TPU; run `make test-slow`
@@ -76,6 +77,18 @@ demo/comparisons:
 	  --output $(OUT_DIR)/4spp_nfor/scene_0000.exr --method nfor --spp 4
 
 demo: demo/data demo/train demo/denoise demo/eval
+
+# Denoise with the committed flagship weights (weights/flagship_f16, an
+# f16 params-only snapshot exported by scripts/export_params.py — the
+# reference's released-final.pth role, Makefile:187,213-217): rebuilds a
+# loadable checkpoint from the snapshot, renders a small wavefront scene,
+# denoises it. Works from a fresh clone with no training.
+demo/pretrained: demo/data
+	python scripts/export_params.py import weights/flagship_f16 \
+	  $(CKPT_DIR)_pretrained
+	python scripts/denoise.py --input $(DATA_DIR)/test \
+	  --checkpoint $(CKPT_DIR)_pretrained \
+	  --output $(OUT_DIR)/4spp_pretrained_ours/scene_0000.exr --spp 4
 
 # One-command parity check against the reference's released pretrained
 # weights (reference: Makefile:187,213-217). Blocked on this host only by
