@@ -33,8 +33,13 @@ def enable_compilation_cache():
     if os.environ.get("SBMC_NO_COMPILE_CACHE"):
         return
     import jax
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/sbmc_jax_cache")
+    # Default the cache into the repo (not /tmp): the scratch disk is wiped
+    # between sessions, and the first TPU compile of the big train/tracer
+    # graphs costs minutes over the remote compile service each time.
+    default_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", default_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -22,12 +22,19 @@
 # Usage: TRAIN_UNTIL=$(date -d '+10 hours' +%s) bash scripts/run_round4_hw.sh
 set -u
 cd "${REPO:-$(dirname "$0")/..}"
-LOG=${LOG:-/tmp/hw4}
-QDIR=${QDIR:-/tmp/qrun}
+# Persistent (gitignored) defaults: /tmp is wiped between sessions, which
+# destroyed the round-2 checkpoint and the round-3 corpus. The repo disk
+# survives.
+LOG=${LOG:-.hwlog}
+QDIR=${QDIR:-.qrun}
 TRAIN_UNTIL=${TRAIN_UNTIL:?set TRAIN_UNTIL (epoch seconds)}
 SCENES=${SCENES:-320}
 TEST_SCENES=${TEST_SCENES:-16}
-GT_SPP=${GT_SPP:-512}
+# gt 256 for the train corpus (label noise averages out across a 320-scene
+# epoch; halves the dominant gt-pass cost — VERDICT r3 item 4); the held-out
+# test set keeps gt 512 for clean metrics.
+GT_SPP=${GT_SPP:-256}
+TEST_GT_SPP=${TEST_GT_SPP:-512}
 SEG_SECONDS=${SEG_SECONDS:-2700}
 MAX_STEPS=${MAX_STEPS:-40000}
 RESERVOIR=${RESERVOIR:-192}
@@ -103,41 +110,75 @@ wait_healthy
 
 # --- 2. corpus datagen: meshes + image textures + HDR envmaps --------------
 DG_FLAGS="--obj_dir assets/objs --tex_dir assets/textures --env_dir assets/envmaps"
-clean_partial "$QDIR/train" 4
-have=$(ls -d "$QDIR/train"/scene_* 2>/dev/null | wc -l)
-if [ "$have" -lt "$SCENES" ]; then
-    echo "$(date +%T) datagen train: $have/$SCENES scenes" >> "$LOG/driver.log"
-    timeout "$DATAGEN_BUDGET" python scripts/generate_training_data.py - - - \
+# The tunnel's remote-compile service drops connections sporadically
+# (kills the renderer process mid-scene); retry inside the budget, cleaning
+# partially-written scenes so --start_index resumes deterministic seeds.
+DG_DEADLINE=$(( $(date +%s) + DATAGEN_BUDGET ))
+while :; do
+    clean_partial "$QDIR/train" 4
+    have=$(ls -d "$QDIR/train"/scene_* 2>/dev/null | wc -l)
+    [ "$have" -ge "$SCENES" ] && break
+    now=$(date +%s)
+    left=$(( DG_DEADLINE - now ))
+    [ "$left" -lt 120 ] && { echo "$(date +%T) datagen budget exhausted " \
+        "($have/$SCENES scenes)" >> "$LOG/driver.log"; break; }
+    echo "$(date +%T) datagen train: $have/$SCENES scenes (${left}s left)" \
+        >> "$LOG/driver.log"
+    timeout "$left" python scripts/generate_training_data.py - - - \
         "$QDIR/train" --renderer wavefront --count $(( SCENES - have )) \
         --spp 8 --gt_spp "$GT_SPP" --width 256 --height 256 \
         --tile_size 128 --start_index "$have" $DG_FLAGS \
-        --verbose >> "$LOG/datagen.log" 2>&1
-    echo "$(date +%T) datagen train rc=$?" >> "$LOG/driver.log"
-fi
-clean_partial "$QDIR/test" 4
-have=$(ls -d "$QDIR/test"/scene_* 2>/dev/null | wc -l)
-if [ "$have" -lt "$TEST_SCENES" ]; then
-    timeout 3600 python scripts/generate_training_data.py - - - \
+        >> "$LOG/datagen.log" 2>&1
+    rc=$?
+    echo "$(date +%T) datagen train rc=$rc" >> "$LOG/driver.log"
+    [ "$rc" -eq 124 ] && break        # budget timeout: move on
+    [ "$rc" -ne 0 ] && { sleep 60; wait_healthy; }
+done
+TEST_DEADLINE=$(( $(date +%s) + 3600 ))
+while :; do
+    clean_partial "$QDIR/test" 4
+    have=$(ls -d "$QDIR/test"/scene_* 2>/dev/null | wc -l)
+    [ "$have" -ge "$TEST_SCENES" ] && break
+    left=$(( TEST_DEADLINE - $(date +%s) ))
+    [ "$left" -lt 120 ] && break
+    timeout "$left" python scripts/generate_training_data.py - - - \
         "$QDIR/test" --renderer wavefront --count $(( TEST_SCENES - have )) \
-        --spp 32 --gt_spp "$GT_SPP" --width 256 --height 256 \
+        --spp 32 --gt_spp "$TEST_GT_SPP" --width 256 --height 256 \
         --tile_size 128 --start_index $(( 100000 + have )) $DG_FLAGS \
-        --verbose >> "$LOG/datagen.log" 2>&1
-    echo "$(date +%T) datagen test rc=$?" >> "$LOG/driver.log"
-fi
+        >> "$LOG/datagen.log" 2>&1
+    rc=$?
+    echo "$(date +%T) datagen test rc=$rc" >> "$LOG/driver.log"
+    [ "$rc" -eq 124 ] && break
+    [ "$rc" -ne 0 ] && { sleep 60; wait_healthy; }
+done
 wait_healthy
 
 # --- 3. one real 1920x1152 frame (15x9 tiles, 8 spp recorded) ---------------
-nf=$(ls "$QDIR/frame1080/scene_00000"/*.bin 2>/dev/null | wc -l)
-if [ "$nf" -ne 135 ]; then
+for attempt in 1 2; do
+    nf=$(ls "$QDIR/frame1080/scene_00000"/*.bin 2>/dev/null | wc -l)
+    [ "$nf" -eq 135 ] && break
     rm -rf "$QDIR/frame1080/scene_00000"
-    timeout 5400 python scripts/generate_training_data.py - - - \
+    timeout 3600 python scripts/generate_training_data.py - - - \
         "$QDIR/frame1080" --renderer wavefront --count 1 --spp 8 \
         --gt_spp 8 --width 1920 --height 1152 --tile_size 128 \
-        $DG_FLAGS --verbose >> "$LOG/datagen.log" 2>&1
-    echo "$(date +%T) real-frame render rc=$?" >> "$LOG/driver.log"
-fi
+        $DG_FLAGS >> "$LOG/datagen.log" 2>&1
+    echo "$(date +%T) real-frame render rc=$? (attempt $attempt)" \
+        >> "$LOG/driver.log"
+done
 
 # --- 4. segmented flagship training (HBM reservoir, bf16 conv stacks) ------
+# Warm start from the committed f16 snapshot (the step-9000 flagship) when
+# the scratch checkpoint is gone — /tmp wipes must not reset training.
+if [ ! -d "$QDIR/ckpt" ] && [ -f weights/flagship_f16/params_f16.msgpack ]
+then
+    python scripts/export_params.py import weights/flagship_f16 \
+        "$QDIR/ckpt" >> "$LOG/driver.log" 2>&1
+    # Carry the training-curve history across the warm start too.
+    cp -f weights/flagship_f16/train_log.csv "$QDIR/ckpt/train_log.csv" \
+        2>/dev/null
+    echo "$(date +%T) warm-started ckpt from weights/flagship_f16" \
+        >> "$LOG/driver.log"
+fi
 LBF_SECONDS=${LBF_SECONDS:-1500}
 KPCN_SECONDS=${KPCN_SECONDS:-1500}
 EVAL_SECONDS=${EVAL_SECONDS:-4500}
@@ -197,7 +238,8 @@ fi
 
 # --- 7. held-out evals + commit the CSV tables ------------------------------
 for spp in 4 8; do
-    timeout 3600 python scripts/eval_suite.py --data "$QDIR/test" \
+    timeout $(( EVAL_SECONDS / 2 )) python scripts/eval_suite.py \
+        --data "$QDIR/test" \
         --checkpoint "$QDIR/ckpt" --output "$QDIR/eval${spp}_r4" \
         --spp "$spp" --tile_size 256 --tile_pad 0 --verbose $LBF_FLAG \
         >> "$LOG/eval${spp}.log" 2>&1
@@ -214,9 +256,26 @@ for spp in 4 8; do
 done
 
 # --- 8. op ladder (exp2 A/B, splat experiments) ------------------------------
-if [ ! -s "$LOG/tpu_session.log" ]; then
-    timeout 3600 python scripts/tpu_session.py --no-bench_model \
+# Skip if the window is nearly over: the round driver's own bench.py run
+# must find a free chip.
+if [ ! -s "$LOG/tpu_session.log" ] && \
+   [ "$(date +%s)" -lt $(( TRAIN_UNTIL + 900 )) ]; then
+    timeout 2400 python scripts/tpu_session.py --no-bench_model \
         > "$LOG/tpu_session.log" 2>&1
     echo "$(date +%T) tpu_session rc=$?" >> "$LOG/driver.log"
+fi
+
+# --- 9. live flagship bench rung, committed ----------------------------------
+if [ ! -s results/bench_r4/bench_flagship_r4.json ]; then
+    mkdir -p results/bench_r4
+    timeout 1800 python bench.py > "$LOG/bench_flagship.out" 2> \
+        "$LOG/bench_flagship.err"
+    if [ -s "$LOG/bench_flagship.out" ]; then
+        tail -1 "$LOG/bench_flagship.out" \
+            > results/bench_r4/bench_flagship_r4.json
+        git add results/bench_r4/bench_flagship_r4.json && git commit -q -m \
+            "Live flagship 4spp bench rung (round-4 window)" || true
+    fi
+    echo "$(date +%T) flagship bench rc=$?" >> "$LOG/driver.log"
 fi
 echo "$(date +%T) queue complete" >> "$LOG/driver.log"
