@@ -97,6 +97,11 @@ N_TEX_IMAGES = 4
 #: Side of every image texture (square, wrap-addressed).
 TEX_IMG_RES = 64
 
+#: Wall-clock seconds of the last tile's device render + fetch (set by
+#: :func:`render_tile_wavefront`; lets the datagen loop split device time
+#: from host assembly + LZ4 write when profiling s/scene).
+LAST_DEVICE_S = 0.0
+
 #: Share of plastic samples that pick the diffuse base lobe (vs the coat).
 _PLASTIC_DIFFUSE_P = 0.7
 
@@ -1423,9 +1428,13 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
     scn = scene.as_jax()
     # Single device_get for all outputs: on tunneled TPU backends each
     # host fetch pays a large fixed round trip.
+    import time as _time
+    _t0 = _time.time()
     mean, var, feats, p, ld, bt = jax.device_get(_render_tile_jit(
         scn, key, ts, block_x, block_y, image_width, image_height, spp,
         gt_spp))
+    global LAST_DEVICE_S
+    LAST_DEVICE_S = _time.time() - _t0
 
     def clean(x):
         # The reference writer zeroes NaN/infinite radiance before saving
@@ -1499,26 +1508,54 @@ def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
     tiles_x = tiles_per_side
     if tiles_y is None:
         tiles_y = tiles_per_side
+    # Per-phase accounting (VERDICT r3 item 4: where does the s/scene go?).
+    # "device" counts the jit dispatch + execution + tunnel fetch of every
+    # tile; a tile far above the running median is a bucket compile, whose
+    # excess is attributed to "compile" instead.
+    acc = {"sample": 0.0, "device": 0.0, "compile": 0.0, "host": 0.0,
+           "write": 0.0}
+    steady = None
     for s in range(n_scenes):
         idx = start_index + s
+        t0 = time.time()
         rng = np.random.RandomState(seed + idx)
         scene = random_tracer_scene(rng, obj_pool=obj_pool,
                                     tex_pool=tex_pool, env_pool=env_pool)
+        acc["sample"] += time.time() - t0
         sdir = os.path.join(outdir, "scene_%05d" % idx)
         os.makedirs(sdir, exist_ok=True)
         if s and s % 10 == 0:
-            print("wavefront datagen: %d/%d scenes (%.1f s/scene)"
-                  % (s, n_scenes, (time.time() - t_start) / s), flush=True)
+            done = time.time() - t_start
+            print("wavefront datagen: %d/%d scenes (%.1f s/scene; "
+                  "device %.0f%% compile %.0f%% host %.0f%% write %.0f%% "
+                  "sample %.0f%%)"
+                  % (s, n_scenes, done / s,
+                     *(100.0 * acc[k] / max(done, 1e-9)
+                       for k in ("device", "compile", "host", "write",
+                                 "sample"))), flush=True)
         w, h = ts * tiles_x, ts * tiles_y
         base_key = jax.random.PRNGKey(seed + idx) if key is None else key
         for ty in range(tiles_y):
             for tx in range(tiles_x):
                 k = jax.random.fold_in(base_key, ty * tiles_x + tx)
+                t0 = time.time()
                 tile = render_tile_wavefront(
                     scene, k, ts=ts, spp=spp, gt_spp=gt_spp,
                     block_x=tx * ts, block_y=ty * ts, image_width=w,
                     image_height=h, kpcn_mode=kpcn_mode)
+                t1 = time.time()
+                dev = LAST_DEVICE_S
+                if steady is None:
+                    steady = dev
+                if dev > 3.0 * steady + 1.0:       # bucket compile outlier
+                    acc["compile"] += dev - steady
+                    acc["device"] += steady
+                else:
+                    acc["device"] += dev
+                    steady = 0.9 * steady + 0.1 * dev
+                acc["host"] += (t1 - t0) - dev
                 bin_format.write_tile(
                     os.path.join(sdir, "tile_%04d_%04d.bin" % (ty, tx)),
                     tile)
+                acc["write"] += time.time() - t1
     return outdir
