@@ -66,6 +66,19 @@ def _vexp(x):
     return jnp.exp(x)
 
 
+# A/B experiment knob for the fused splat's tap loop: with
+# SBMC_PSF_STAGED=1 the row-max pass stages each lane-shifted logits
+# slice into an aligned VMEM scratch as it reads it, so the exp+FMA pass
+# re-reads the taps lane-aligned instead of re-slicing the halo buffer at
+# lane offsets dx in [0, k) — halving the misaligned reads on the
+# dominant stream. Every non-128-multiple lane offset costs a cross-lane
+# relayout on the VPU (the measured ~7 ms residual over the HBM bound at
+# k=21/4x512^2, PERF_TPU.md "residual-gap accounting"); whether the
+# staging round-trip through VMEM beats the second relayout is exactly
+# the A/B that scripts/tpu_session.py measures on chip.
+_USE_PSF_STAGED = bool(os.environ.get("SBMC_PSF_STAGED"))
+
+
 # v5e (and v4) cores have 128 MiB of VMEM, but the compiler's default
 # *scoped* allowance for a custom kernel's working set is only 16 MiB —
 # round 1's 1080p bench died on exactly that (22.03M > 16M at k=21,
@@ -519,8 +532,12 @@ def scatter2gather_pallas(weights, *, block_h=None, block_w=None,
 # ---------------------------------------------------------------------------
 
 def _psf_kernel(dp_ref, lp_ref, sr_ref, sw_ref, mw_ref,
-                or_ref, ow_ref, om_ref, dscr, wscr, dsem, wsems, *,
-                K, TH, TW, RH, RW):
+                or_ref, ow_ref, om_ref, dscr, wscr, *rest, K, TH, TW,
+                RH, RW, STAGED=False):
+    if STAGED:
+        vscr, dsem, wsems = rest
+    else:
+        (dsem, wsems), vscr = rest, None
     n = pl.program_id(0)
     iy = pl.program_id(1)
     ix = pl.program_id(2)
@@ -552,19 +569,29 @@ def _psf_kernel(dp_ref, lp_ref, sr_ref, sw_ref, mw_ref,
         fetch(dy, slot).wait()
         dband = dscr[:, dy:dy + TH, :]          # (C, TH, RW)
         # Pass 1: row max over this output-tap row (one rescale per row
-        # instead of per tap keeps the online softmax cheap).
+        # instead of per tap keeps the online softmax cheap). In STAGED
+        # mode each lane-shifted slice is written to an aligned scratch
+        # as it is read, so pass 2 re-reads it without a second
+        # cross-lane relayout (see _USE_PSF_STAGED).
         rowmax = m
         for dx in range(K):
             v = wscr[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
-            rowmax = jnp.maximum(rowmax, v.astype(jnp.float32))
+            v = v.astype(jnp.float32)
+            if STAGED:
+                vscr[dx] = v
+            rowmax = jnp.maximum(rowmax, v)
         s = _vexp(m - rowmax)
         accw = accw * s
         accr = accr * s[None]
         m = rowmax
         # Pass 2: accumulate this row's exponentiated taps.
         for dx in range(K):
-            v = wscr[slot, K - 1 - dx, dy:dy + TH, dx:dx + TW]
-            e = _vexp(v.astype(jnp.float32) - m)
+            if STAGED:
+                v = vscr[dx]
+            else:
+                v = wscr[slot, K - 1 - dx, dy:dy + TH,
+                         dx:dx + TW].astype(jnp.float32)
+            e = _vexp(v - m)
             accw += e
             accr += e[None] * dband[:, :, dx:dx + TW]
 
@@ -591,7 +618,7 @@ def _psf_pick_tw(w):
 
 def progressive_splat_fused_pallas(data, logits, sum_r, sum_w, max_w, *,
                                    block_h=None, block_w=None,
-                                   interpret=False):
+                                   staged=None, interpret=False):
     """One fused step of the progressive online-softmax splat accumulation
     (reference semantics: sbmc/modules.py:417-473 = scatter2gather + tap max
     + exp + kernel_weighting + rescale-accumulate).
@@ -609,10 +636,15 @@ def progressive_splat_fused_pallas(data, logits, sum_r, sum_w, max_w, *,
       sum_r: ``[bs, c, h, w]`` running radiance sum.
       sum_w: ``[bs, 1, h, w]`` running weight sum.
       max_w: ``[bs, 1, h, w]`` running max.
+      staged: stage lane-shifted tap slices through an aligned VMEM
+        scratch between the max and exp passes (default: the
+        ``SBMC_PSF_STAGED`` env knob; see ``_USE_PSF_STAGED``).
 
     Returns:
       ``(sum_r', sum_w', max_w')`` with the same shapes/dtypes (float32).
     """
+    if staged is None:
+        staged = _USE_PSF_STAGED
     bs, c, h, w = data.shape
     k2 = logits.shape[1]
     K = _ksize(k2)
@@ -630,9 +662,20 @@ def progressive_splat_fused_pallas(data, logits, sum_r, sum_w, max_w, *,
     def sp(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
+    scratches = [
+        pltpu.VMEM((c, RH, RW), jnp.float32),
+        pltpu.VMEM((2, K, RH, RW), dt),
+    ]
+    if staged:
+        scratches.append(pltpu.VMEM((K, TH, TW), jnp.float32))
+    scratches += [
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     grid = (bs, hp // TH, wp // TW)
     out_r, out_w, out_m = pl.pallas_call(
-        functools.partial(_psf_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW),
+        functools.partial(_psf_kernel, K=K, TH=TH, TW=TW, RH=RH, RW=RW,
+                          STAGED=staged),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -657,12 +700,7 @@ def progressive_splat_fused_pallas(data, logits, sum_r, sum_w, max_w, *,
             jax.ShapeDtypeStruct((bs, 1, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((bs, 1, hp, wp), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((c, RH, RW), jnp.float32),
-            pltpu.VMEM((2, K, RH, RW), dt),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratches,
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(dp, lp, sp(sum_r), sp(sum_w), sp(max_w))

@@ -289,6 +289,28 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
                                                   (data, wts)))
             finally:
                 pallas_kernels._USE_EXP2 = exp2_prev
+
+            # Staged-tap A/B (SBMC_PSF_STAGED): the max pass writes each
+            # lane-shifted logits slice to an aligned VMEM scratch so the
+            # exp pass re-reads it without a second cross-lane relayout —
+            # the "shift the accumulator, not the operand" experiment from
+            # PERF_TPU's residual-gap accounting. f32 and bf16 logits.
+            def step_fs(c, d, w):
+                return pallas_kernels.progressive_splat_fused_pallas(
+                    d, w, *c, staged=True)
+            report("fusedstaged", chain_timer(step_fs, st4, (data, wts)))
+            wts16 = wts.astype(jnp.bfloat16)
+
+            def step_f16(c, d, w):
+                return pallas_kernels.progressive_splat_fused_pallas(
+                    d, w, *c)
+
+            def step_fs16(c, d, w):
+                return pallas_kernels.progressive_splat_fused_pallas(
+                    d, w, *c, staged=True)
+            report("fused_bf16 ", chain_timer(step_f16, st4, (data, wts16)))
+            report("fstaged_b16", chain_timer(step_fs16, st4,
+                                              (data, wts16)))
         except Exception as e:
             print(f"  fused failed: {str(e)[:80]}", flush=True)
 

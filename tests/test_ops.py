@@ -453,3 +453,42 @@ def test_fused_update_exp2_variant_matches(rng, monkeypatch):
     for x, y in zip(base, alt):
         assert np.allclose(np.array(x), np.array(y), atol=2e-5), \
             np.abs(np.array(x) - np.array(y)).max()
+
+
+def test_fused_update_staged_variant_matches(rng):
+    """The SBMC_PSF_STAGED tap-staging variant (lane-shifted logit slices
+    written to an aligned VMEM scratch by the max pass and re-read
+    aligned by the exp pass — the relayout A/B knob measured by
+    scripts/tpu_session.py) must be bit-identical to the two-read
+    baseline: it reorders no arithmetic, only the reads."""
+    from sbmc_tpu.ops import pallas_kernels
+
+    h, w, k = 12, 40, 5
+    data = jnp.array(rng.randn(1, 3, h, w), jnp.float32)
+    wts = jnp.array(rng.randn(1, k * k, h, w), jnp.float32)
+    st = (jnp.array(rng.randn(1, 3, h, w), jnp.float32),
+          jnp.array(np.abs(rng.randn(1, 1, h, w)), jnp.float32),
+          jnp.array(rng.randn(1, 1, h, w), jnp.float32))
+
+    def run(staged):
+        return jax.jit(
+            lambda d, wt, a, b, c: pallas_kernels
+            .progressive_splat_fused_pallas(d, wt, a, b, c, staged=staged,
+                                            interpret=True))(data, wts, *st)
+
+    base = run(False)
+    alt = run(True)
+    for x, y in zip(base, alt):
+        np.testing.assert_array_equal(np.array(x), np.array(y))
+    # bf16 logits (the bench default dtype) through the staged path too.
+    wts16 = wts.astype(jnp.bfloat16)
+
+    def run16(staged):
+        return jax.jit(
+            lambda d, wt, a, b, c: pallas_kernels
+            .progressive_splat_fused_pallas(d, wt, a, b, c, staged=staged,
+                                            interpret=True))(data, wts16,
+                                                             *st)
+
+    for x, y in zip(run16(False), run16(True)):
+        np.testing.assert_array_equal(np.array(x), np.array(y))
