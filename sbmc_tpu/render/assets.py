@@ -70,11 +70,17 @@ class ObjPool:
     Args:
       source: a directory (searched recursively for ``*.obj``) or an
         explicit list of paths.
-      max_faces: skip meshes with more triangles than this (brute-force
-        tracer cost guard).
+      max_faces: skip meshes with more triangles than this (tracer cost
+        guard; default the ``SBMC_MAX_FACES`` env knob or 512). The 512
+        default predates the MXU triangle intersection
+        (pathtracer._tri_ts) — with plane + barycentric tests now two
+        [N,3]@[3,3T] matmuls, the face cap's cost slope is MXU-cheap and
+        raising it is a measured-datagen-s/scene decision, not a VPU one.
     """
 
-    def __init__(self, source, max_faces=512):
+    def __init__(self, source, max_faces=None):
+        if max_faces is None:
+            max_faces = int(os.environ.get("SBMC_MAX_FACES", "512"))
         if isinstance(source, (list, tuple)):
             self.paths = list(source)
         else:
@@ -200,8 +206,10 @@ class TexturePool(_ImagePool):
 
 class EnvmapPool(_ImagePool):
     """Equirectangular HDR environment images (2:1 aspect enforced by
-    resampling to 64x128); negative values clipped, HDR range kept."""
+    resampling to ``SBMC_ENV_RES`` x ``2*SBMC_ENV_RES``, default 64x128);
+    negative values clipped, HDR range kept."""
 
     def _prepare(self, im):
-        im = _resample_nn(im, 64, 128)
+        eh = int(os.environ.get("SBMC_ENV_RES", "64"))
+        im = _resample_nn(im, eh, 2 * eh)
         return np.maximum(im, 0.0)

@@ -42,6 +42,7 @@ on CPU or TPU and scales over devices by splitting sample passes.
 """
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Optional
 
@@ -94,8 +95,12 @@ TEX_STRIPES = 2
 #: with fewer images pad with zeros; slots are referenced by
 #: ``tex_image_id`` (-1 = procedural/flat only).
 N_TEX_IMAGES = 4
-#: Side of every image texture (square, wrap-addressed).
-TEX_IMG_RES = 64
+#: Side of every image texture (square, wrap-addressed). Overridable via
+#: SBMC_TEX_RES: the 64 default is a VPU-cost trade from the pre-MXU
+#: tracer; corpus-fidelity headroom (vs the reference's full-res Imagemap
+#: corpus, sbmc/scene_generator/randomizers.py:27-93) is a datagen
+#: s/scene measurement away (see scripts/run_round5 queue notes).
+TEX_IMG_RES = int(_os.environ.get("SBMC_TEX_RES", "64"))
 
 #: Wall-clock seconds of the last tile's device render + fetch (set by
 #: :func:`render_tile_wavefront`; lets the datagen loop split device time

@@ -119,3 +119,42 @@ class TestObjPool:
         # Mixed procedural (tet=4..ico=20 tris) and cube (12) draws all
         # land in the same 64-triangle bucket -> one XLA compile.
         assert counts == {64}
+
+
+class TestFidelityKnobs:
+    """Corpus-fidelity env knobs (SBMC_MAX_FACES / SBMC_ENV_RES /
+    SBMC_TEX_RES): tracer asset resolution caps are tunable per-corpus
+    without code edits, so raising fidelity for a future corpus is a
+    queue-script decision measured in datagen s/scene (VERDICT r3
+    weak-item 7; reference corpus: scene_generator/randomizers.py:27-93).
+    Defaults stay at the round-3 values — a running datagen that restarts
+    mid-corpus must keep producing identical scenes."""
+
+    def test_max_faces_env_default(self, tmp_path, monkeypatch):
+        (tmp_path / "cube.obj").write_text(CUBE_OBJ)
+        monkeypatch.setenv("SBMC_MAX_FACES", "7")
+        pool = ObjPool(str(tmp_path))
+        assert pool.max_faces == 7
+        rng = np.random.RandomState(0)
+        with pytest.raises(ValueError):
+            pool._load(pool.paths[0])  # 12-tri cube > 7-face cap
+        # Explicit arg still wins over the env knob.
+        assert ObjPool(str(tmp_path), max_faces=99).max_faces == 99
+        del rng
+
+    def test_env_res_knob(self, tmp_path, monkeypatch):
+        from sbmc_tpu.render.assets import EnvmapPool
+        from sbmc_tpu.utils import exr
+        im = np.random.RandomState(0).rand(32, 48, 3).astype(np.float32)
+        exr.write(str(tmp_path / "e.exr"), im)
+        pool = EnvmapPool([str(tmp_path / "e.exr")])
+        rng = np.random.RandomState(1)
+        assert pool.sample(rng).shape == (64, 128, 3)
+        monkeypatch.setenv("SBMC_ENV_RES", "128")
+        pool2 = EnvmapPool([str(tmp_path / "e.exr")])
+        assert pool2.sample(rng).shape == (128, 256, 3)
+
+    def test_tex_res_default_unchanged(self):
+        # TEX_IMG_RES is read at import time; the committed default must
+        # stay 64 until a corpus regeneration flips it deliberately.
+        assert pathtracer.TEX_IMG_RES == 64
