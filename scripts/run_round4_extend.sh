@@ -1,0 +1,80 @@
+#!/bin/bash
+# Post-queue extension (round 4): after run_round4_hw.sh prints "queue
+# complete", spend the rest of the session window on more flagship
+# training steps (the quality fight is step-starved — VERDICT r3 item 1),
+# then refresh the 4-spp held-out table with the improved weights.
+#
+# Usage: EXTEND_UNTIL=$(date -d '+2 hours' +%s) bash scripts/run_round4_extend.sh
+#
+# Strictly serial (one TPU process at a time; memory: tpu-tunnel-behavior);
+# every segment is timeout-bounded so nothing outlives the session.
+set -u
+cd "${REPO:-$(dirname "$0")/..}"
+LOG=${LOG:-.hwlog}
+QDIR=${QDIR:-.qrun}
+EXTEND_UNTIL=${EXTEND_UNTIL:?set EXTEND_UNTIL (epoch seconds)}
+SEG_SECONDS=${SEG_SECONDS:-2700}
+EVAL_SECONDS=${EVAL_SECONDS:-2400}
+RESERVOIR=${RESERVOIR:-192}
+MAX_STEPS=${MAX_STEPS:-60000}
+
+snapshot_commit() {
+    [ -d "$QDIR/ckpt" ] || return 0
+    python scripts/export_params.py export "$QDIR/ckpt" \
+        weights/flagship_f16 >> "$LOG/driver.log" 2>&1 || return 0
+    cp -f "$QDIR/ckpt/train_log.csv" weights/flagship_f16/train_log.csv \
+        2>/dev/null
+    step=$(python -c "import json;print(json.load(open(
+        'weights/flagship_f16/snapshot.json'))['step'])" 2>/dev/null || echo 0)
+    git add weights/flagship_f16 >> "$LOG/driver.log" 2>&1
+    git commit -q -m "Flagship weights snapshot (f16) at step $step" \
+        >> "$LOG/driver.log" 2>&1 || true
+}
+
+echo "$(date +%T) round-4 extension start (until $(date -d @$EXTEND_UNTIL +%T))" \
+    >> "$LOG/driver.log"
+
+TRAIN_UNTIL_EXT=$(( EXTEND_UNTIL - EVAL_SECONDS ))
+while [ "$(date +%s)" -lt "$TRAIN_UNTIL_EXT" ]; do
+    left=$(( TRAIN_UNTIL_EXT - $(date +%s) ))
+    seg=$(( left < SEG_SECONDS ? left : SEG_SECONDS ))
+    [ "$seg" -lt 300 ] && break
+    echo "$(date +%T) extension train segment (${seg}s)" >> "$LOG/driver.log"
+    timeout "$seg" python scripts/train.py "$QDIR/train" "$QDIR/ckpt" \
+        --spp 8 --ksize 21 --bs 4 --max_steps "$MAX_STEPS" --bf16 \
+        --device_reservoir "$RESERVOIR" --log_interval 50 \
+        --checkpoint_interval 250 --num_worker_threads 4 \
+        >> "$LOG/train.log" 2>&1
+    rc=$?
+    echo "$(date +%T) extension segment rc=$rc" >> "$LOG/driver.log"
+    snapshot_commit
+    if [ "$rc" -ne 124 ] && [ "$rc" -ne 0 ]; then
+        sleep 300
+    fi
+    [ "$rc" -eq 0 ] && break
+done
+snapshot_commit
+
+# Refreshed 4-spp held-out table with the extended weights.
+LBF_FLAG=""
+[ -d "$QDIR/ckpt_lbf" ] && LBF_FLAG="--lbf_checkpoint $QDIR/ckpt_lbf"
+[ -d "$QDIR/ckpt_kpcn" ] && \
+    LBF_FLAG="$LBF_FLAG --kpcn_checkpoint $QDIR/ckpt_kpcn"
+if [ -d "$QDIR/test" ] && [ "$EVAL_SECONDS" -ge 600 ]; then
+    timeout "$EVAL_SECONDS" python scripts/eval_suite.py \
+        --data "$QDIR/test" --checkpoint "$QDIR/ckpt" \
+        --output "$QDIR/eval4_ext" --spp 4 --tile_size 256 --tile_pad 0 \
+        --verbose $LBF_FLAG >> "$LOG/eval4_ext.log" 2>&1
+    echo "$(date +%T) extension eval4 rc=$?" >> "$LOG/driver.log"
+    if [ -f "$QDIR/eval4_ext/metrics.csv" ]; then
+        mkdir -p results/quality_r4
+        cp -f "$QDIR/eval4_ext/metrics.csv" \
+            results/quality_r4/metrics_4spp.csv
+        cp -f "$QDIR/eval4_ext/metrics.md" \
+            results/quality_r4/metrics_4spp.md 2>/dev/null
+        git add results/quality_r4 && git commit -q -m \
+            "Held-out 4spp quality table refreshed with extended weights" \
+            || true
+    fi
+fi
+echo "$(date +%T) extension complete" >> "$LOG/driver.log"
