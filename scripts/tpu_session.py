@@ -311,6 +311,29 @@ def bench_ops(jax, jnp, ops, pallas_kernels):
             report("fused_bf16 ", chain_timer(step_f16, st4, (data, wts16)))
             report("fstaged_b16", chain_timer(step_fs16, st4,
                                               (data, wts16)))
+
+            # Tile-height sweep: the TH=32 default came from the blocked
+            # -VMEM kernels' sweep, but the fused kernel's logits stream
+            # through ANY-space scratch, so taller tiles fit easily and
+            # cut the halo overfetch on the dominant stream
+            # ((RH*RW)/(TH*TW): 2.03x at TH=32/TW=512 -> 1.64x at 64 ->
+            # 1.44x at 128). Wider lanes (TW=1024) only where the frame
+            # width doesn't pad.
+            geoms = [(64, None), (128, None)]
+            if -(-w // 1024) * 1024 == -(-w // 512) * 512:
+                # TW=1024 pads no more than 512 at this width (e.g.
+                # w=1920 -> 2048 either way) but halves the lane halo.
+                geoms += [(None, 1024), (64, 1024)]
+            for gh, gw in geoms:
+                def step_g(c, d, wt, gh=gh, gw=gw):
+                    return pallas_kernels.progressive_splat_fused_pallas(
+                        d, wt, *c, block_h=gh, block_w=gw)
+                try:
+                    report(f"ff_th{gh or 32}_tw{gw or 'auto'}",
+                           chain_timer(step_g, st4, (data, wts16)))
+                except Exception as e:
+                    print(f"  ff_th{gh}_tw{gw} failed: {str(e)[:80]}",
+                          flush=True)
         except Exception as e:
             print(f"  fused failed: {str(e)[:80]}", flush=True)
 
