@@ -79,21 +79,38 @@ class DenoiserInterface:
         tgt = crop_like(batch["target_image"], radiance)
         loss = self.loss_fn(radiance, tgt)
         rmse = self.rmse_fn(radiance, tgt)
-        return loss, rmse
+        return loss, (rmse, self._input_baseline(batch, tgt))
+
+    def _input_baseline(self, batch, tgt):
+        """Training-sanity reference: the loss of the trivial predictor
+        (the masked per-pixel sample mean — i.e. the noisy input itself)
+        on the same batch. A healthy run drops below it within a few
+        hundred steps; the 2026-08-19 bf16+reservoir run never did, and
+        that took 9000 steps to notice without this column."""
+        if "radiance" not in batch:        # kpcn batches
+            return jnp.zeros(())
+        rad = batch["radiance"].astype(jnp.float32)
+        if "sample_mask" in batch:
+            m = batch["sample_mask"].astype(jnp.float32)[
+                :, :, None, None, None]
+            mean = (rad * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+        else:
+            mean = rad.mean(1)
+        return self.loss_fn(crop_like(mean, tgt), tgt)
 
     def _train_step_impl(self, state, batch):
-        (loss, rmse), grads = jax.value_and_grad(
+        (loss, (rmse, base)), grads = jax.value_and_grad(
             self._losses, has_aux=True)(state.params, batch)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
-        return new_state, {"loss": loss, "rmse": rmse}
+        return new_state, {"loss": loss, "rmse": rmse, "input_loss": base}
 
     def _eval_step_impl(self, params, batch):
-        loss, rmse = self._losses(params, batch)
-        return {"loss": loss, "rmse": rmse}
+        loss, (rmse, base) = self._losses(params, batch)
+        return {"loss": loss, "rmse": rmse, "input_loss": base}
 
     @staticmethod
     def _arrays_only(batch):
