@@ -138,12 +138,20 @@ class WNConv2D(nn.Module):
                 preferred_element_type=jnp.float32)
             return y.reshape(n, hh, ww, self.features).astype(out_dtype) \
                 + bias
+        # preferred_element_type=f32 on a bf16 conv breaks the TRANSPOSE
+        # rule (the f32 cotangent meets the bf16 kernel inside the
+        # transposed conv -> trace-time TypeError), which made bf16
+        # TRAINING impossible until 2026-08-19. With plain bf16 in/out the
+        # TPU conv still accumulates f32 on the MXU internally; only the
+        # rounding point of the output moves. f32 inputs keep the explicit
+        # f32 request (a no-op numerically).
+        pet = None if self.dtype == jnp.bfloat16 else jnp.float32
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride, self.stride),
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", self.out_layout),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
         bias = bias.astype(out_dtype)
         if self.out_layout == "NCHW":

@@ -1,13 +1,20 @@
 #!/bin/bash
 # Post-queue extension (round 4): after run_round4_hw.sh prints "queue
-# complete", spend the rest of the session window on more flagship
-# training steps (the quality fight is step-starved — VERDICT r3 item 1),
-# then refresh the 4-spp held-out table with the improved weights.
+# complete", spend the rest of the session window on:
+#
+#   1. The bf16-vs-reservoir ATTRIBUTION A/B (the 2026-08-19 flagship run
+#      trained with both and never beat the trivial input mean — see
+#      scripts/train.py guards). Two ~600-step runs from fresh inits on
+#      tonight's corpus; tonight's main f32/host run is the healthy
+#      control curve. Verdict = compare the loss-vs-input_loss columns in
+#      each train_log.csv.
+#   2. More flagship training steps (f32/host, resuming $QDIR/ckpt).
+#   3. A refreshed 4-spp held-out table with the extended weights.
 #
 # Usage: EXTEND_UNTIL=$(date -d '+2 hours' +%s) bash scripts/run_round4_extend.sh
 #
 # Strictly serial (one TPU process at a time; memory: tpu-tunnel-behavior);
-# every segment is timeout-bounded so nothing outlives the session.
+# every phase is timeout-bounded so nothing outlives the session.
 set -u
 cd "${REPO:-$(dirname "$0")/..}"
 LOG=${LOG:-.hwlog}
@@ -15,7 +22,8 @@ QDIR=${QDIR:-.qrun}
 EXTEND_UNTIL=${EXTEND_UNTIL:?set EXTEND_UNTIL (epoch seconds)}
 SEG_SECONDS=${SEG_SECONDS:-2700}
 EVAL_SECONDS=${EVAL_SECONDS:-2400}
-RESERVOIR=${RESERVOIR:-192}
+AB_STEPS=${AB_STEPS:-600}
+AB_SECONDS=${AB_SECONDS:-1800}
 MAX_STEPS=${MAX_STEPS:-60000}
 
 snapshot_commit() {
@@ -34,6 +42,38 @@ snapshot_commit() {
 echo "$(date +%T) round-4 extension start (until $(date -d @$EXTEND_UNTIL +%T))" \
     >> "$LOG/driver.log"
 
+# --- 1. attribution A/B: bf16/host and f32/reservoir, fresh inits --------
+# (tonight's $QDIR/ckpt run is the f32/host control). Commit the two
+# train logs as round-4 evidence.
+if [ ! -f "$QDIR/ab_bf16/train_log.csv" ]; then
+    echo "$(date +%T) A/B: bf16/host ($AB_STEPS steps)" >> "$LOG/driver.log"
+    timeout "$AB_SECONDS" python scripts/train.py "$QDIR/train" \
+        "$QDIR/ab_bf16" --spp 8 --ksize 21 --bs 4 --bf16 --trust_bf16 \
+        --max_steps "$AB_STEPS" --log_interval 25 \
+        --checkpoint_interval 100000 --num_worker_threads 4 \
+        >> "$LOG/ab_bf16.log" 2>&1
+    echo "$(date +%T) A/B bf16 rc=$?" >> "$LOG/driver.log"
+fi
+if [ ! -f "$QDIR/ab_res/train_log.csv" ]; then
+    echo "$(date +%T) A/B: f32/reservoir ($AB_STEPS steps)" >> "$LOG/driver.log"
+    timeout "$AB_SECONDS" python scripts/train.py "$QDIR/train" \
+        "$QDIR/ab_res" --spp 8 --ksize 21 --bs 4 \
+        --device_reservoir 192 --trust_reservoir \
+        --max_steps "$AB_STEPS" --log_interval 25 \
+        --checkpoint_interval 100000 --num_worker_threads 4 \
+        >> "$LOG/ab_res.log" 2>&1
+    echo "$(date +%T) A/B reservoir rc=$?" >> "$LOG/driver.log"
+fi
+mkdir -p results/ab_r4
+cp -f "$QDIR/ab_bf16/train_log.csv" results/ab_r4/ab_bf16.csv 2>/dev/null
+cp -f "$QDIR/ab_res/train_log.csv" results/ab_r4/ab_res.csv 2>/dev/null
+head -c 400000 "$QDIR/ckpt/train_log.csv" > results/ab_r4/control_f32_host.csv \
+    2>/dev/null
+git add results/ab_r4 2>/dev/null && git commit -q -m \
+    "Attribution A/B train logs: bf16/host + f32/reservoir vs f32/host control" \
+    || true
+
+# --- 2. more flagship training (f32/host, resume) -------------------------
 TRAIN_UNTIL_EXT=$(( EXTEND_UNTIL - EVAL_SECONDS ))
 while [ "$(date +%s)" -lt "$TRAIN_UNTIL_EXT" ]; do
     left=$(( TRAIN_UNTIL_EXT - $(date +%s) ))
@@ -41,10 +81,9 @@ while [ "$(date +%s)" -lt "$TRAIN_UNTIL_EXT" ]; do
     [ "$seg" -lt 300 ] && break
     echo "$(date +%T) extension train segment (${seg}s)" >> "$LOG/driver.log"
     timeout "$seg" python scripts/train.py "$QDIR/train" "$QDIR/ckpt" \
-        --spp 8 --ksize 21 --bs 4 --max_steps "$MAX_STEPS" --bf16 \
-        --device_reservoir "$RESERVOIR" --log_interval 50 \
-        --checkpoint_interval 250 --num_worker_threads 4 \
-        >> "$LOG/train.log" 2>&1
+        --spp 8 --ksize 21 --bs 4 --max_steps "$MAX_STEPS" \
+        --log_interval 50 --checkpoint_interval 250 \
+        --num_worker_threads 4 >> "$LOG/train.log" 2>&1
     rc=$?
     echo "$(date +%T) extension segment rc=$rc" >> "$LOG/driver.log"
     snapshot_commit
@@ -55,7 +94,7 @@ while [ "$(date +%s)" -lt "$TRAIN_UNTIL_EXT" ]; do
 done
 snapshot_commit
 
-# Refreshed 4-spp held-out table with the extended weights.
+# --- 3. refreshed 4-spp held-out table with the extended weights -----------
 LBF_FLAG=""
 [ -d "$QDIR/ckpt_lbf" ] && LBF_FLAG="--lbf_checkpoint $QDIR/ckpt_lbf"
 [ -d "$QDIR/ckpt_kpcn" ] && \

@@ -83,20 +83,21 @@ def main(args):
     if args.kpcn_mode and args.lbf_mode:
         raise SystemExit("--kpcn_mode and --lbf_mode are mutually exclusive")
 
-    if args.bf16:
-        # bf16 TRAINING is measured-broken as of 2026-08-19: the 9000-step
-        # flagship run with --bf16 --device_reservoir never beat the
-        # trivial input-mean predictor on its own training tiles
-        # (weights/flagship_f16/train_log.csv is flat at ~0.032 from step
-        # 50; a direct probe scored the model 0.103 vs 0.011 for the plain
-        # 8-spp mean). bf16 remains the validated *inference* default
-        # (84.5 dB agreement vs f32 with trained weights — PERF_TPU.md);
-        # until a training run demonstrates a declining loss under bf16,
-        # training stays in the round-2-proven f32 regime.
+    if args.bf16 and not args.trust_bf16:
+        # bf16 TRAINING only became *possible* on 2026-08-19: until the
+        # WNConv2D transpose fix (preferred_element_type=f32 on a bf16
+        # conv fails to trace under grad), every --bf16 train step died
+        # with a TypeError at trace time, so no bf16 training run has
+        # ever produced a learning curve. bf16 remains the validated
+        # *inference* default (84.5 dB agreement vs f32 with trained
+        # weights — PERF_TPU.md); unattended long runs stay in the
+        # round-2-proven f32 regime until a --trust_bf16 A/B shows a
+        # healthy loss-vs-input_loss curve on chip.
         log.warning("--bf16 requested: training in float32 instead (bf16 "
-                    "training never out-trained the trivial input mean in "
-                    "the 2026-08-19 9000-step run; bf16 stays inference-"
-                    "only until validated -- see scripts/train.py)")
+                    "training has zero validated runs -- it could not even "
+                    "trace before the 2026-08-19 conv-transpose fix; pass "
+                    "--trust_bf16 to opt in and watch the input_loss "
+                    "column)")
         args.bf16 = False
     if args.kpcn_mode:
         log.info("Model: KPCN (gather baseline, [Bako2017])")
@@ -166,17 +167,19 @@ def main(args):
     use_reservoir = (args.device_reservoir > 0 and mesh is None
                      and not args.kpcn_mode)
     if use_reservoir and not args.trust_reservoir:
-        # The one long reservoir run so far (2026-08-19, combined with
-        # --bf16) never out-trained the trivial input mean; the reservoir
+        # The one long reservoir run so far (2026-08-19, f32 + reservoir —
+        # --bf16 could not engage, see above) never out-trained the
+        # trivial input mean over 9000 steps (probe: 0.031 vs 0.019 for
+        # the plain 8-spp mean on its own training tiles); the reservoir
         # passes its CPU unit/A-B tests, but until an on-chip run shows a
         # healthy declining loss under it, long unattended runs default to
         # the round-2-proven host loader. Opt back in (e.g. for the
-        # validation run itself) with --trust_reservoir.
+        # attribution A/B itself) with --trust_reservoir.
         log.warning("--device_reservoir requested: keeping the HOST loader "
-                    "(the 2026-08-19 reservoir+bf16 run never beat the "
-                    "input mean; pass --trust_reservoir to opt in while "
-                    "the reservoir's on-chip learning curve is still "
-                    "unvalidated)")
+                    "(the 2026-08-19 9000-step f32+reservoir run never "
+                    "beat the input mean; pass --trust_reservoir to opt "
+                    "in while the reservoir's on-chip learning curve is "
+                    "still unvalidated)")
         use_reservoir = False
     if args.device_reservoir > 0 and not use_reservoir and \
             (mesh is not None or args.kpcn_mode):
@@ -257,6 +260,10 @@ if __name__ == "__main__":
                         help="allow --device_reservoir even though the "
                         "reservoir's on-chip learning curve is not yet "
                         "validated (see the warning in main).")
+    parser.add_argument("--trust_bf16", action="store_true",
+                        help="allow bf16 TRAINING despite the 2026-08-19 "
+                        "non-learning run (for the attribution A/B; "
+                        "watch the input_loss column).")
     parser.add_argument("--no_cache_ram", dest="cache_ram",
                         action="store_false", default=True,
                         help="disable the RAM cache of preprocessed tiles "

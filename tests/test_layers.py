@@ -268,3 +268,49 @@ class TestFusedProgressive:
         out_b = np.array(b.sum_r / (b.sum_w + 1e-8))
         rel = np.abs(out_a - out_b) / (np.abs(out_a) + 1e-2)
         assert rel.max() < 0.02
+
+
+class TestBF16Trainability:
+    """bf16 conv stacks must be TRAINABLE, not just runnable forward:
+    before 2026-08-19, preferred_element_type=f32 on a bf16 conv made the
+    transpose rule fail at trace time (f32 cotangent x bf16 kernel), so
+    every --bf16 train step crashed with a TypeError before running a
+    single step. Pin grad traceability for every WNConv2D variant and a
+    full bf16 Multisteps train step."""
+
+    def test_grad_through_bf16_conv_variants(self, rng):
+        from sbmc_tpu.nn.layers import WNConv2D
+        x = jnp.array(rng.randn(1, 12, 12, 4), jnp.float32)
+        for ks, layout in [(3, "NHWC"), (1, "NHWC"), (1, "NCHW"),
+                           (3, "NCHW")]:
+            m = WNConv2D(features=6, ksize=ks, dtype=jnp.bfloat16,
+                         out_layout=layout)
+            p = m.init(jax.random.PRNGKey(0), x)
+            g = jax.grad(
+                lambda p: m.apply(p, x).astype(jnp.float32).sum())(p)
+            leaves = jax.tree_util.tree_leaves(g)
+            assert all(le.dtype == jnp.float32 for le in leaves)
+            assert any(float(jnp.abs(le).max()) > 0 for le in leaves), \
+                (ks, layout)
+
+    def test_bf16_multisteps_train_step(self, rng):
+        from sbmc_tpu.models import Multisteps
+        from sbmc_tpu.train import DenoiserInterface
+        h = w = 28
+        spp, nf, ngf = 2, 7, 3
+        batch = {
+            "radiance": jnp.array(rng.rand(1, spp, 3, h, w), jnp.float32),
+            "features": jnp.array(rng.rand(1, spp, nf, h, w), jnp.float32),
+            "global_features": jnp.array(rng.rand(1, ngf, 1, 1),
+                                         jnp.float32),
+            "target_image": jnp.array(rng.rand(1, 3, h, w), jnp.float32),
+        }
+        model = Multisteps(n_features=nf, n_global_features=ngf, ksize=5,
+                           width=16, embedding_width=16,
+                           conv_dtype="bfloat16")
+        iface = DenoiserInterface(model)
+        state = iface.init(jax.random.PRNGKey(0), batch)
+        state2, metrics = iface.train_step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["input_loss"]))
+        assert int(state2.step) == 1
