@@ -101,7 +101,17 @@ def _read_compressed(fid, expected_size=None):
 
 
 def write_tile(path, tile):
-    """Serialize a :class:`Tile` to ``path`` in the reference format."""
+    """Serialize a :class:`Tile` to ``path`` in the reference format.
+
+    Written via tmp + atomic rename: unattended datagen runs are killed
+    by window timeouts mid-corpus, and a truncated ``.bin`` would crash
+    every later training run that globs the directory."""
+    tmp = path + ".tmp"
+    _write_tile_inner(tmp, tile)
+    os.replace(tmp, path)
+
+
+def _write_tile_inner(path, tile):
     ts = tile.tile_size
     spp = tile.sample_count
     assert tile.pixel_data.shape == (tile.pixel_features, ts, ts)
