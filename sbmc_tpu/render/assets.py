@@ -209,7 +209,13 @@ class EnvmapPool(_ImagePool):
     resampling to ``SBMC_ENV_RES`` x ``2*SBMC_ENV_RES``, default 64x128);
     negative values clipped, HDR range kept."""
 
-    def _prepare(self, im):
+    @property
+    def res(self):
+        """(H, W) every pooled envmap is resampled to (scene shapes must
+        be static across a corpus so XLA executables are shared)."""
         eh = int(os.environ.get("SBMC_ENV_RES", "64"))
-        im = _resample_nn(im, eh, 2 * eh)
+        return (eh, 2 * eh)
+
+    def _prepare(self, im):
+        im = _resample_nn(im, *self.res)
         return np.maximum(im, 0.0)

@@ -400,8 +400,9 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
     ingested .obj geometry for the procedural platonic solids with
     probability ``obj_prob`` per mesh slot (the reference's random model
     placement, sbmc/scene_generator/generators.py). Triangle arrays are
-    padded with degenerate (never-hit) triangles to a multiple of
-    ``tri_bucket`` so scenes with different meshes share XLA compilations.
+    padded with degenerate (never-hit) triangles to the next power-of-two
+    rung at least ``tri_bucket`` so scenes with different meshes share XLA
+    compilations (<= 5 distinct shapes per corpus).
 
     ``tex_pool`` (:class:`sbmc_tpu.render.assets.TexturePool`) draws up to
     ``N_TEX_IMAGES`` image textures per scene and assigns them to textured
@@ -430,11 +431,19 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
     env_exps = np.exp(rng.uniform(np.log(2.0), np.log(64.0), n_lobes))
     env_image = None
     env_image_scale = 1.0
-    if env_pool is not None and rng.rand() < env_img_prob:
-        env_image = env_pool.sample(rng)
-        env_image_scale = float(np.exp(rng.uniform(np.log(0.3),
-                                                   np.log(2.0))))
-        env_colors = env_colors * 0.0      # the image replaces the lobes
+    if env_pool is not None:
+        if rng.rand() < env_img_prob:
+            env_image = env_pool.sample(rng)
+            env_image_scale = float(np.exp(rng.uniform(np.log(0.3),
+                                                       np.log(2.0))))
+            env_colors = env_colors * 0.0  # the image replaces the lobes
+        else:
+            # Keep the traced shape identical to the image-envmap case
+            # (a zero image at scale 0 contributes exactly nothing):
+            # with an env pool in play, image-vs-lobes otherwise doubles
+            # the XLA executable count across a datagen corpus.
+            env_image = np.zeros(env_pool.res + (3,), np.float32)
+            env_image_scale = 0.0
 
     tex_images = None
     tex_image_id = None
@@ -487,10 +496,16 @@ def random_tracer_scene(rng, n_spheres=6, n_boxes=3, n_cyls=2, n_meshes=2,
     tri_prim = (np.concatenate(tri_prim) if tri_prim
                 else np.zeros((0,), np.int32))
     if tri_bucket and len(tri_v0):
-        # Pad to a bucket multiple with zero-area triangles (det == 0 in
-        # _tri_ts -> never hit) so arbitrary ingested meshes don't force a
-        # fresh XLA compile per scene.
-        pad = (-len(tri_v0)) % tri_bucket
+        # Pad to a power-of-two rung (at least ``tri_bucket``) with
+        # zero-area triangles (det == 0 in _tri_ts -> never hit). A
+        # fixed-multiple bucket still produced ~17 distinct triangle
+        # counts across a mixed obj/procedural corpus, and the resulting
+        # executable zoo made XLA compilation 40-55% of datagen wall
+        # clock (round-4 overnight logs); pow2 rungs collapse that to
+        # <= 5 shapes at a mean ~1.3x padding cost on the (MXU-batched)
+        # triangle intersection only.
+        target = max(tri_bucket, 1 << int(np.ceil(np.log2(len(tri_v0)))))
+        pad = target - len(tri_v0)
         if pad:
             zeros3 = np.zeros((pad, 3), np.float32)
             tri_v0 = np.concatenate([tri_v0, zeros3])

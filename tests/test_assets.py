@@ -158,3 +158,66 @@ class TestFidelityKnobs:
         # TEX_IMG_RES is read at import time; the committed default must
         # stay 64 until a corpus regeneration flips it deliberately.
         assert pathtracer.TEX_IMG_RES == 64
+
+
+def _fan_obj(n_faces):
+    """A triangle fan with ``n_faces`` faces (arbitrary face counts for
+    bucket tests)."""
+    lines = ["v 0 0 1"]
+    for i in range(n_faces + 1):
+        a = 2 * np.pi * i / (n_faces + 1)
+        lines.append("v %f %f 1" % (np.cos(a), np.sin(a)))
+    for i in range(n_faces):
+        lines.append("f 1 %d %d" % (i + 2, i + 3))
+    return "\n".join(lines) + "\n"
+
+
+class TestStaticShapes:
+    """Per-scene traced shapes must collapse to a handful of variants:
+    XLA compilation was 40-55% of datagen wall clock on the round-4
+    overnight corpus because fixed-multiple tri buckets x optional env
+    image produced an executable zoo."""
+
+    def test_tri_bucket_pow2_rungs(self, tmp_path):
+        (tmp_path / "fan.obj").write_text(_fan_obj(150))
+        pool = ObjPool(str(tmp_path))
+        counts = set()
+        for seed in range(8):
+            rng = np.random.RandomState(seed)
+            s = random_tracer_scene(rng, obj_pool=pool, obj_prob=0.5,
+                                    tri_bucket=64)
+            counts.add(s.tri_v0.shape[0])
+        # 0-2 fans of 150 tris (+ tiny procedural meshes) -> every count
+        # lands on a power-of-two rung, and only a few rungs exist.
+        assert counts <= {64, 128, 256, 512}
+        for c in counts:
+            assert c & (c - 1) == 0  # power of two
+
+    def test_env_image_shape_static_with_pool(self, tmp_path):
+        from sbmc_tpu.render.assets import EnvmapPool
+        from sbmc_tpu.utils import exr
+        im = np.random.RandomState(0).rand(32, 64, 3).astype(np.float32)
+        exr.write(str(tmp_path / "e.exr"), im)
+        pool = EnvmapPool([str(tmp_path / "e.exr")])
+        shapes, scales = set(), []
+        for seed in range(12):
+            rng = np.random.RandomState(seed)
+            s = random_tracer_scene(rng, env_pool=pool, env_img_prob=0.4)
+            assert s.env_image is not None
+            shapes.add(s.env_image.shape)
+            scales.append(s.env_image_scale)
+        assert shapes == {pool.res + (3,)}
+        # Both branches occur across seeds; the no-image branch is a
+        # zero image at scale 0 (contributes exactly nothing).
+        assert any(sc == 0.0 for sc in scales)
+        assert any(sc > 0.0 for sc in scales)
+        for seed, sc in enumerate(scales):
+            if sc == 0.0:
+                rng = np.random.RandomState(seed)
+                s = random_tracer_scene(rng, env_pool=pool,
+                                        env_img_prob=0.4)
+                np.testing.assert_array_equal(s.env_image, 0.0)
+
+    def test_no_pool_scenes_keep_env_image_none(self):
+        s = random_tracer_scene(np.random.RandomState(0))
+        assert s.env_image is None
