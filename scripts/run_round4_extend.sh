@@ -8,7 +8,9 @@
 #      tonight's corpus; tonight's main f32/host run is the healthy
 #      control curve. Verdict = compare the loss-vs-input_loss columns in
 #      each train_log.csv.
-#   2. More flagship training steps (f32/host, resuming $QDIR/ckpt).
+#   2. More flagship training steps (resuming $QDIR/ckpt) on the fastest
+#      config the A/B VALIDATED (judge_ab.py), with per-segment health
+#      checks + checkpoint rollback if the fast config regresses.
 #   3. A refreshed 4-spp held-out table with the extended weights.
 #
 # Usage: EXTEND_UNTIL=$(date -d '+2 hours' +%s) bash scripts/run_round4_extend.sh
@@ -73,19 +75,65 @@ git add results/ab_r4 2>/dev/null && git commit -q -m \
     "Attribution A/B train logs: bf16/host + f32/reservoir vs f32/host control" \
     || true
 
-# --- 2. more flagship training (f32/host, resume) -------------------------
+# --- 2. more flagship training (fastest VALIDATED config, resume) ----------
+# The A/B verdicts pick the config: bf16 and/or the HBM reservoir engage
+# only if their 600-step run out-trained the input baseline
+# (scripts/judge_ab.py — the mechanized form of the 2026-08-19 guard).
+FAST_FLAGS=""
+if python scripts/judge_ab.py "$QDIR/ab_bf16/train_log.csv" --json \
+        >> "$LOG/driver.log" 2>&1; then
+    FAST_FLAGS="--bf16 --trust_bf16"
+fi
+if python scripts/judge_ab.py "$QDIR/ab_res/train_log.csv" --json \
+        >> "$LOG/driver.log" 2>&1; then
+    FAST_FLAGS="$FAST_FLAGS --device_reservoir 192 --trust_reservoir"
+fi
+echo "$(date +%T) extension config: [$FAST_FLAGS]" >> "$LOG/driver.log"
+# Rollback net for the (combined) fast config: back up the checkpoint,
+# and after each segment judge ONLY the segment's new log rows
+# (beats-input contract; "improving" is wrong for a plateaued resume).
+# On regression: restore the backup and finish the window on the proven
+# f32/host config.
+if [ -n "$FAST_FLAGS" ]; then
+    rm -rf "$QDIR/ckpt_backup"
+    cp -r "$QDIR/ckpt" "$QDIR/ckpt_backup" 2>/dev/null
+fi
 TRAIN_UNTIL_EXT=$(( EXTEND_UNTIL - EVAL_SECONDS ))
 while [ "$(date +%s)" -lt "$TRAIN_UNTIL_EXT" ]; do
     left=$(( TRAIN_UNTIL_EXT - $(date +%s) ))
     seg=$(( left < SEG_SECONDS ? left : SEG_SECONDS ))
     [ "$seg" -lt 300 ] && break
-    echo "$(date +%T) extension train segment (${seg}s)" >> "$LOG/driver.log"
+    rows_before=$(wc -l < "$QDIR/ckpt/train_log.csv" 2>/dev/null || echo 1)
+    echo "$(date +%T) extension train segment (${seg}s) [$FAST_FLAGS]" \
+        >> "$LOG/driver.log"
     timeout "$seg" python scripts/train.py "$QDIR/train" "$QDIR/ckpt" \
-        --spp 8 --ksize 21 --bs 4 --max_steps "$MAX_STEPS" \
+        --spp 8 --ksize 21 --bs 4 --max_steps "$MAX_STEPS" $FAST_FLAGS \
         --log_interval 50 --checkpoint_interval 250 \
         --num_worker_threads 4 >> "$LOG/train.log" 2>&1
     rc=$?
     echo "$(date +%T) extension segment rc=$rc" >> "$LOG/driver.log"
+    if [ -n "$FAST_FLAGS" ]; then
+        { head -1 "$QDIR/ckpt/train_log.csv";
+          tail -n +$(( rows_before + 1 )) "$QDIR/ckpt/train_log.csv"; } \
+            > "$LOG/.seg_rows.csv" 2>/dev/null
+        newrows=$(( $(wc -l < "$LOG/.seg_rows.csv") - 1 ))
+        if [ "$newrows" -ge 4 ]; then
+            if python scripts/judge_ab.py "$LOG/.seg_rows.csv" \
+                    --beats_input_only --min_rows 4 --json \
+                    >> "$LOG/driver.log" 2>&1; then
+                # Healthy fast segment: advance the rollback point.
+                rm -rf "$QDIR/ckpt_backup"
+                cp -r "$QDIR/ckpt" "$QDIR/ckpt_backup"
+            else
+                echo "$(date +%T) fast config regressed; rolling back to " \
+                    "the pre-segment checkpoint + f32/host" \
+                    >> "$LOG/driver.log"
+                rm -rf "$QDIR/ckpt"
+                mv "$QDIR/ckpt_backup" "$QDIR/ckpt"
+                FAST_FLAGS=""
+            fi
+        fi
+    fi
     snapshot_commit
     if [ "$rc" -ne 124 ] && [ "$rc" -ne 0 ]; then
         sleep 300
