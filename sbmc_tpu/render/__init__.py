@@ -3,4 +3,5 @@ from sbmc_tpu.render.pathtracer import (  # noqa: F401
     random_tracer_scene,
     render_pass,
     render_tile_wavefront,
+    render_tiles_wavefront,
 )

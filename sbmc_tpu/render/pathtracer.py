@@ -53,7 +53,8 @@ import numpy as np
 from sbmc_tpu.data import bin_format
 
 __all__ = ["TracerScene", "random_tracer_scene", "render_pass",
-           "render_tile_wavefront", "generate_wavefront_dataset",
+           "render_tile_wavefront", "render_tiles_wavefront",
+           "generate_wavefront_dataset",
            "MAT_DIFFUSE", "MAT_MIRROR", "MAT_GLASS", "MAT_METAL",
            "MAT_PLASTIC", "TEX_CHECKER3D", "TEX_NOISE", "TEX_STRIPES",
            "N_TEX_IMAGES", "TEX_IMG_RES"]
@@ -1385,12 +1386,11 @@ def render_pass(scene, key, ts, block_x, block_y, image_width, image_height):
     }
 
 
-@partial(jax.jit, static_argnames=("ts", "image_width", "image_height",
-                                   "spp", "gt_spp"))
-def _render_tile_jit(scn, key, ts, block_x, block_y, image_width,
-                     image_height, spp, gt_spp):
-    """All passes of one tile under a single jit: gt statistics (Welford
-    over gt_spp passes via scan) + spp recorded passes."""
+def _tile_passes(scn, key, ts, block_x, block_y, image_width,
+                 image_height, spp, gt_spp):
+    """All passes of one tile: gt statistics (Welford over gt_spp passes
+    via scan) + spp recorded passes. Traced body shared by the
+    single-tile jit and the vmapped tile-batch jit."""
 
     def pix_features(rec):
         return jnp.concatenate([
@@ -1433,6 +1433,31 @@ def _render_tile_jit(scn, key, ts, block_x, block_y, image_width,
     return mean, var, feats, p, ld, bt
 
 
+@partial(jax.jit, static_argnames=("ts", "image_width", "image_height",
+                                   "spp", "gt_spp"))
+def _render_tile_jit(scn, key, ts, block_x, block_y, image_width,
+                     image_height, spp, gt_spp):
+    return _tile_passes(scn, key, ts, block_x, block_y, image_width,
+                        image_height, spp, gt_spp)
+
+
+@partial(jax.jit, static_argnames=("ts", "image_width", "image_height",
+                                   "spp", "gt_spp"))
+def _render_tiles_jit(scn, keys, block_xs, block_ys, ts, image_width,
+                      image_height, spp, gt_spp):
+    """Tile-batched render: vmap the whole per-tile pass stack over the
+    tile axis. One 128^2 tile is only a 16k-ray wavefront — far below
+    what keeps the chip busy; batching B tiles widens every pass (and
+    the MXU triangle intersection) to B*16k rays while amortizing the
+    scan/dispatch overhead. Per-tile RNG keys are the same
+    ``fold_in(base, tile_index)`` streams as the serial path, so batched
+    and serial corpora match."""
+    return jax.vmap(
+        lambda k, bx, by: _tile_passes(scn, k, ts, bx, by, image_width,
+                                       image_height, spp, gt_spp)
+    )(keys, block_xs, block_ys)
+
+
 def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
                           block_y=0, image_width=None, image_height=None,
                           kpcn_mode=False):
@@ -1455,6 +1480,65 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
         gt_spp))
     global LAST_DEVICE_S
     LAST_DEVICE_S = _time.time() - _t0
+    return _tile_from_arrays(scene, ts, spp, gt_spp, block_x, block_y,
+                             image_width, image_height, kpcn_mode,
+                             mean, var, feats, p, ld, bt)
+
+
+def render_tiles_wavefront(scene, base_key, coords, ts=128, spp=8,
+                           gt_spp=64, image_width=None, image_height=None,
+                           kpcn_mode=False, tile_batch=4):
+    """Render several tiles of one scene per traced call (vmapped over
+    the tile axis — see :func:`_render_tiles_jit`).
+
+    ``coords`` is a list of ``(tile_index, block_x, block_y)``; each
+    tile's RNG key is ``fold_in(base_key, tile_index)``, matching the
+    serial path exactly. Tiles are processed in chunks of ``tile_batch``
+    (bounding HBM for the recorded-pass outputs); a ragged final chunk
+    is padded by repeating its last tile — the pad renders and is
+    dropped — so one extra executable shape is never compiled.
+
+    Returns the tiles in ``coords`` order. The env knob
+    ``SBMC_TILE_BATCH`` overrides ``tile_batch`` corpus-wide.
+    """
+    image_width = image_width or ts
+    image_height = image_height or ts
+    tile_batch = int(_os.environ.get("SBMC_TILE_BATCH", tile_batch))
+    tile_batch = max(1, tile_batch)
+    scn = scene.as_jax()
+    global LAST_DEVICE_S
+    LAST_DEVICE_S = 0.0
+    import time as _time
+    out = []
+    for c0 in range(0, len(coords), tile_batch):
+        chunk = list(coords[c0:c0 + tile_batch])
+        n_real = len(chunk)
+        while len(chunk) < tile_batch:
+            chunk.append(chunk[-1])
+        keys = jnp.stack([jax.random.fold_in(base_key, idx)
+                          for idx, _, _ in chunk])
+        bxs = jnp.asarray([bx for _, bx, _ in chunk], jnp.float32)
+        bys = jnp.asarray([by for _, _, by in chunk], jnp.float32)
+        _t0 = _time.time()
+        mean, var, feats, p, ld, bt = jax.device_get(_render_tiles_jit(
+            scn, keys, bxs, bys, ts, image_width, image_height, spp,
+            gt_spp))
+        LAST_DEVICE_S += _time.time() - _t0
+        for i in range(n_real):
+            _, bx, by = chunk[i]
+            out.append(_tile_from_arrays(
+                scene, ts, spp, gt_spp, int(bx), int(by), image_width,
+                image_height, kpcn_mode, mean[i], var[i], feats[i], p[i],
+                ld[i], bt[i]))
+    return out
+
+
+def _tile_from_arrays(scene, ts, spp, gt_spp, block_x, block_y,
+                      image_width, image_height, kpcn_mode,
+                      mean, var, feats, p, ld, bt):
+    """Host post-processing of one tile's device arrays into a
+    :class:`bin_format.Tile` (shared by the serial and tile-batched
+    renderers)."""
 
     def clean(x):
         # The reference writer zeroes NaN/infinite radiance before saving
@@ -1555,27 +1639,34 @@ def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
                                  "sample"))), flush=True)
         w, h = ts * tiles_x, ts * tiles_y
         base_key = jax.random.PRNGKey(seed + idx) if key is None else key
-        for ty in range(tiles_y):
-            for tx in range(tiles_x):
-                k = jax.random.fold_in(base_key, ty * tiles_x + tx)
-                t0 = time.time()
-                tile = render_tile_wavefront(
-                    scene, k, ts=ts, spp=spp, gt_spp=gt_spp,
-                    block_x=tx * ts, block_y=ty * ts, image_width=w,
-                    image_height=h, kpcn_mode=kpcn_mode)
-                t1 = time.time()
-                dev = LAST_DEVICE_S
-                if steady is None:
-                    steady = dev
-                if dev > 3.0 * steady + 1.0:       # bucket compile outlier
-                    acc["compile"] += dev - steady
-                    acc["device"] += steady
-                else:
-                    acc["device"] += dev
-                    steady = 0.9 * steady + 0.1 * dev
-                acc["host"] += (t1 - t0) - dev
+        coords = [(ty * tiles_x + tx, tx * ts, ty * ts)
+                  for ty in range(tiles_y) for tx in range(tiles_x)]
+        # Tiles are rendered ``SBMC_TILE_BATCH`` (default 4) per traced
+        # call: one 128^2 tile is only a 16k-ray wavefront, so batching
+        # widens every pass to B*16k rays (the per-tile RNG keys match
+        # the serial path).
+        tb = max(1, int(_os.environ.get("SBMC_TILE_BATCH", "4")))
+        for c0 in range(0, len(coords), tb):
+            chunk = coords[c0:c0 + tb]
+            t0 = time.time()
+            tiles = render_tiles_wavefront(
+                scene, base_key, chunk, ts=ts, spp=spp, gt_spp=gt_spp,
+                image_width=w, image_height=h, kpcn_mode=kpcn_mode,
+                tile_batch=tb)
+            t1 = time.time()
+            dev = LAST_DEVICE_S
+            if steady is None:
+                steady = dev
+            if dev > 3.0 * steady + 1.0:           # bucket compile outlier
+                acc["compile"] += dev - steady
+                acc["device"] += steady
+            else:
+                acc["device"] += dev
+                steady = 0.9 * steady + 0.1 * dev
+            acc["host"] += (t1 - t0) - dev
+            for (_, bx, by), tile in zip(chunk, tiles):
                 bin_format.write_tile(
-                    os.path.join(sdir, "tile_%04d_%04d.bin" % (ty, tx)),
-                    tile)
-                acc["write"] += time.time() - t1
+                    os.path.join(sdir, "tile_%04d_%04d.bin"
+                                 % (by // ts, bx // ts)), tile)
+            acc["write"] += time.time() - t1
     return outdir

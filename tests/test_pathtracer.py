@@ -722,3 +722,49 @@ class TestTriangleMXUFormulation:
         np.testing.assert_allclose(ts[both], ts_ref[both], rtol=2e-4,
                                    atol=2e-4)
         assert (np.asarray(inside)[both] == inside_ref[both]).all()
+
+
+class TestTileBatchedRender:
+    """render_tiles_wavefront: B tiles per traced call (vmapped pass
+    stack) must reproduce the serial per-tile renderer — same fold_in
+    RNG streams, same records — including through a ragged final chunk
+    (padded by repeating the last tile, then dropped)."""
+
+    def test_batched_matches_serial_with_ragged_chunk(self):
+        from sbmc_tpu.render.pathtracer import render_tiles_wavefront
+        rng = np.random.RandomState(0)
+        scene = random_tracer_scene(rng, n_spheres=2, n_boxes=1, n_cyls=1,
+                                    n_meshes=1)
+        base = jax.random.PRNGKey(7)
+        ts, spp, gt = 16, 2, 4
+        coords = [(i, (i % 2) * ts, (i // 2) * ts) for i in range(4)]
+        batched = render_tiles_wavefront(
+            scene, base, coords, ts=ts, spp=spp, gt_spp=gt,
+            image_width=32, image_height=32, tile_batch=3)
+        assert len(batched) == 4
+        for (i, bx, by), tb in zip(coords, batched):
+            k = jax.random.fold_in(base, i)
+            ser = render_tile_wavefront(
+                scene, k, ts=ts, spp=spp, gt_spp=gt, block_x=bx,
+                block_y=by, image_width=32, image_height=32)
+            np.testing.assert_allclose(tb.pixel_data, ser.pixel_data,
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(tb.features, ser.features,
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(tb.p, ser.p, rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(tb.ld, ser.ld, rtol=2e-5,
+                                       atol=2e-5)
+            np.testing.assert_array_equal(tb.bt, ser.bt)
+            assert tb.block_x == bx and tb.block_y == by
+
+    def test_env_knob_overrides_batch(self, monkeypatch):
+        from sbmc_tpu.render.pathtracer import render_tiles_wavefront
+        monkeypatch.setenv("SBMC_TILE_BATCH", "2")
+        scene = _simple_scene()
+        base = jax.random.PRNGKey(3)
+        tiles = render_tiles_wavefront(scene, base, [(0, 0, 0), (1, 16, 0)],
+                                       ts=16, spp=1, gt_spp=1,
+                                       image_width=32, image_height=16,
+                                       tile_batch=64)
+        assert len(tiles) == 2
+        assert np.isfinite(tiles[0].features).all()
