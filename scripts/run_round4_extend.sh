@@ -75,6 +75,43 @@ git add results/ab_r4 2>/dev/null && git commit -q -m \
     "Attribution A/B train logs: bf16/host + f32/reservoir vs f32/host control" \
     || true
 
+# --- 1.5 grow the corpus (time-boxed) --------------------------------------
+# 85 scenes / 340 tiles is overfitting territory for a 10k+-step run; the
+# shape-collapsed + tile-batched datagen path (round-4 commits d5ed7b7,
+# fb3f3f7) should also get its on-chip s/scene measurement here. New
+# scenes continue the same seed sequence (--start_index), same assets.
+DATAGEN_EXT_BUDGET=${DATAGEN_EXT_BUDGET:-4200}
+SCENES_EXT=${SCENES_EXT:-240}
+DG_FLAGS="--obj_dir assets/objs --tex_dir assets/textures --env_dir assets/envmaps"
+DG_EXT_DEADLINE=$(( $(date +%s) + DATAGEN_EXT_BUDGET ))
+while :; do
+    have=$(ls -d "$QDIR/train"/scene_* 2>/dev/null | wc -l)
+    [ "$have" -ge "$SCENES_EXT" ] && break
+    left=$(( DG_EXT_DEADLINE - $(date +%s) ))
+    hard_left=$(( EXTEND_UNTIL - EVAL_SECONDS - 3600 - $(date +%s) ))
+    [ "$hard_left" -lt "$left" ] && left=$hard_left
+    [ "$left" -lt 180 ] && { echo "$(date +%T) datagen-ext budget done " \
+        "($have/$SCENES_EXT scenes)" >> "$LOG/driver.log"; break; }
+    echo "$(date +%T) datagen ext: $have/$SCENES_EXT scenes (${left}s left)" \
+        >> "$LOG/driver.log"
+    timeout "$left" python scripts/generate_training_data.py - - - \
+        "$QDIR/train" --renderer wavefront --count $(( SCENES_EXT - have )) \
+        --spp 8 --gt_spp 256 --width 256 --height 256 --tile_size 128 \
+        --start_index "$have" $DG_FLAGS >> "$LOG/datagen.log" 2>&1
+    rc=$?
+    echo "$(date +%T) datagen ext rc=$rc" >> "$LOG/driver.log"
+    [ "$rc" -eq 124 ] && break
+    [ "$rc" -ne 0 ] && sleep 120
+    # Partial scenes from a crash: drop them so --start_index resumes
+    # deterministic seeds.
+    for d in "$QDIR/train"/scene_*; do
+        [ -d "$d" ] || continue
+        n=$(ls "$d"/*.bin 2>/dev/null | wc -l)
+        [ "$n" -ne 4 ] && { echo "rm partial $d ($n tiles)" \
+            >> "$LOG/driver.log"; rm -rf "$d"; }
+    done
+done
+
 # --- 2. more flagship training (fastest VALIDATED config, resume) ----------
 # The A/B verdicts pick the config: bf16 and/or the HBM reservoir engage
 # only if their 600-step run out-trained the input baseline
