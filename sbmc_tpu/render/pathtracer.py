@@ -1487,7 +1487,7 @@ def render_tile_wavefront(scene, key, ts=128, spp=8, gt_spp=64, block_x=0,
 
 def render_tiles_wavefront(scene, base_key, coords, ts=128, spp=8,
                            gt_spp=64, image_width=None, image_height=None,
-                           kpcn_mode=False, tile_batch=4):
+                           kpcn_mode=False, tile_batch=1):
     """Render several tiles of one scene per traced call (vmapped over
     the tile axis — see :func:`_render_tiles_jit`).
 
@@ -1509,6 +1509,25 @@ def render_tiles_wavefront(scene, base_key, coords, ts=128, spp=8,
     global LAST_DEVICE_S
     LAST_DEVICE_S = 0.0
     import time as _time
+    if tile_batch == 1:
+        # SBMC_TILE_BATCH=1 dispatches the round-3-proven single-tile
+        # graph (_render_tile_jit) rather than a 1-wide vmap: the vmapped
+        # executable crashed the TPU worker on the 2026-08-20 window
+        # ("kernel fault") while the serial graph had rendered a
+        # 314-scene corpus the night before. RNG matches the batched
+        # path exactly (fold_in(base_key, tile_index) per tile).
+        out = []
+        for idx, bx, by in coords:
+            k = jax.random.fold_in(base_key, idx)
+            _t0 = _time.time()
+            mean, var, feats, p, ld, bt = jax.device_get(_render_tile_jit(
+                scn, k, ts, jnp.float32(bx), jnp.float32(by), image_width,
+                image_height, spp, gt_spp))
+            LAST_DEVICE_S += _time.time() - _t0
+            out.append(_tile_from_arrays(
+                scene, ts, spp, gt_spp, int(bx), int(by), image_width,
+                image_height, kpcn_mode, mean, var, feats, p, ld, bt))
+        return out
     out = []
     for c0 in range(0, len(coords), tile_batch):
         chunk = list(coords[c0:c0 + tile_batch])
@@ -1641,11 +1660,12 @@ def generate_wavefront_dataset(outdir, n_scenes=2, ts=128, tiles_per_side=1,
         base_key = jax.random.PRNGKey(seed + idx) if key is None else key
         coords = [(ty * tiles_x + tx, tx * ts, ty * ts)
                   for ty in range(tiles_y) for tx in range(tiles_x)]
-        # Tiles are rendered ``SBMC_TILE_BATCH`` (default 4) per traced
-        # call: one 128^2 tile is only a 16k-ray wavefront, so batching
-        # widens every pass to B*16k rays (the per-tile RNG keys match
-        # the serial path).
-        tb = max(1, int(_os.environ.get("SBMC_TILE_BATCH", "4")))
+        # Tiles are rendered ``SBMC_TILE_BATCH`` per traced call; >=2
+        # widens every pass to B*16k rays via vmap (per-tile RNG keys
+        # match the serial path). Default is 1: the vmapped executable
+        # faulted the TPU worker on 2026-08-20 while the serial graph is
+        # corpus-proven, so batching is opt-in until that is root-caused.
+        tb = max(1, int(_os.environ.get("SBMC_TILE_BATCH", "1")))
         for c0 in range(0, len(coords), tb):
             chunk = coords[c0:c0 + tb]
             t0 = time.time()

@@ -757,6 +757,30 @@ class TestTileBatchedRender:
             np.testing.assert_array_equal(tb.bt, ser.bt)
             assert tb.block_x == bx and tb.block_y == by
 
+    def test_tile_batch_one_dispatches_serial_graph(self):
+        # tile_batch=1 must route through the single-tile jit (the
+        # TPU-proven graph) and still reproduce the per-tile renderer's
+        # records and fold_in RNG streams in coords order.
+        from sbmc_tpu.render.pathtracer import render_tiles_wavefront
+        scene = _simple_scene()
+        base = jax.random.PRNGKey(11)
+        ts, spp, gt = 16, 2, 2
+        coords = [(1, 16, 0), (0, 0, 0)]   # deliberately out of raster order
+        tiles = render_tiles_wavefront(scene, base, coords, ts=ts, spp=spp,
+                                       gt_spp=gt, image_width=32,
+                                       image_height=16, tile_batch=1)
+        assert len(tiles) == 2
+        for (i, bx, by), tb in zip(coords, tiles):
+            k = jax.random.fold_in(base, i)
+            ser = render_tile_wavefront(
+                scene, k, ts=ts, spp=spp, gt_spp=gt, block_x=bx,
+                block_y=by, image_width=32, image_height=16)
+            np.testing.assert_allclose(tb.pixel_data, ser.pixel_data,
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(tb.features, ser.features,
+                                       rtol=2e-5, atol=2e-5)
+            assert tb.block_x == bx and tb.block_y == by
+
     def test_env_knob_overrides_batch(self, monkeypatch):
         from sbmc_tpu.render.pathtracer import render_tiles_wavefront
         monkeypatch.setenv("SBMC_TILE_BATCH", "2")
