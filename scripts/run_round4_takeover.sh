@@ -322,4 +322,20 @@ if [ ! -s results/bench_r4/bench_flagship_r4.json ] && \
     fi
     logln "flagship bench rc=$?"
 fi
+
+# --- 9. 32-spp bench rung (the one BASELINE.md config never measured) ----------
+if [ ! -s results/bench_r4/bench_spp32_r4.json ] && \
+   [ "$(left_s)" -gt 1800 ]; then
+    wait_healthy
+    SBMC_BENCH_SPP=32 timeout 1500 python bench.py \
+        > "$LOG/bench_spp32.out" 2> "$LOG/bench_spp32.err"
+    if [ -s "$LOG/bench_spp32.out" ]; then
+        tail -1 "$LOG/bench_spp32.out" > results/bench_r4/bench_spp32_r4.json
+        git add results/bench_r4/bench_spp32_r4.json \
+            >> "$LOG/driver.log" 2>&1
+        git commit -q -m "First 32-spp bench rung (round-4 window)" \
+            >> "$LOG/driver.log" 2>&1 || true
+    fi
+    logln "spp32 bench rc=$?"
+fi
 logln "takeover queue complete"
