@@ -279,7 +279,8 @@ for spp in 4 8; do
             "results/quality_r4/metrics_${spp}spp.csv"
         cp -f "$QDIR/eval${spp}_r4/metrics.md" \
             "results/quality_r4/metrics_${spp}spp.md" 2>/dev/null
-        git add results/quality_r4 >> "$LOG/driver.log" 2>&1
+        python scripts/update_quality_md.py >> "$LOG/driver.log" 2>&1
+        git add results/quality_r4 QUALITY.md >> "$LOG/driver.log" 2>&1
         git commit -q -m \
             "Held-out quality tables at ${spp}spp (round-4 corpus)" \
             >> "$LOG/driver.log" 2>&1 || true

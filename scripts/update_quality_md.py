@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Regenerate QUALITY.md from eval_suite metrics CSVs, unattended.
+
+The round-4 evals land late in the hardware window when no interactive
+session may be alive, so the takeover driver calls this right after
+copying ``results/quality_r4/metrics_{spp}spp.csv`` to rewrite the
+quality evidence mechanically: aggregate per-method means, bold the
+winner per metric, and state the SBMC-vs-NFOR outcome (the reference's
+headline comparison, reference Makefile:179-199) from the numbers alone.
+
+Usage: python scripts/update_quality_md.py [--results results/quality_r4]
+       [--out QUALITY.md]
+
+Exits 0 without touching the file when no metrics CSVs exist (driver-
+safe); any existing content below the HISTORY marker is preserved.
+"""
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HISTORY_MARKER = "<!-- QUALITY-HISTORY -->"
+
+LABELS = {
+    "input": "noisy input",
+    "ours": "**SBMC (ours)**",
+    "nlm": "NLM (Rousselle2012)",
+    "cbf": "cross-bilateral",
+    "rpf": "RPF (Sen2011)",
+    "nfor": "NFOR (Bitterli2016)",
+    "lbf": "LBF (Kalantari2015)",
+    "kpcn": "KPCN (Bako2017)",
+}
+# Aggregated columns: (csv suffix, table header, higher_is_better)
+COLS = [("psnr", "PSNR (dB)", True),
+        ("relmse", "relMSE", False),
+        ("dssim", "DSSIM", False),
+        ("ref_rmse", "rMSE", False),
+        ("ref_relative_l1", "relL1", False)]
+
+
+def read_metrics(path):
+    """-> (methods in csv order, {method: {col: mean}}, n_scenes)."""
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        return [], {}, 0
+    methods = []
+    for k in rows[0]:
+        if k.endswith("_psnr"):
+            methods.append(k[: -len("_psnr")])
+    agg = {}
+    for m in methods:
+        agg[m] = {}
+        for suf, _, _ in COLS:
+            key = "%s_%s" % (m, suf)
+            vals = [float(r[key]) for r in rows if r.get(key)]
+            agg[m][suf] = sum(vals) / len(vals) if vals else float("nan")
+    return methods, agg, len(rows)
+
+
+def table(methods, agg):
+    lines = ["| method | " + " | ".join(h for _, h, _ in COLS) + " |",
+             "|---|" + "---|" * len(COLS)]
+    best = {}
+    for suf, _, hi in COLS:
+        vals = {m: agg[m][suf] for m in methods if m != "input"}
+        best[suf] = (max if hi else min)(vals, key=vals.get)
+    for m in methods:
+        cells = []
+        for suf, _, _ in COLS:
+            v = agg[m][suf]
+            s = "%.2f" % v if suf == "psnr" else "%.4f" % v
+            cells.append("**%s**" % s if best[suf] == m else s)
+        lines.append("| %s | %s |" % (LABELS.get(m, m), " | ".join(cells)))
+    return "\n".join(lines)
+
+
+def verdict_line(agg):
+    if "ours" not in agg or "nfor" not in agg:
+        return ""
+    d = agg["ours"]["psnr"] - agg["nfor"]["psnr"]
+    if d >= 0:
+        return ("**SBMC beats NFOR by %.2f dB PSNR** (the reference's "
+                "headline ordering, its Makefile:179-199 protocol)." % d)
+    return ("NFOR still leads SBMC by %.2f dB PSNR at this training "
+            "budget." % -d)
+
+
+def trained_steps():
+    for p in (".qrun/ckpt/train_log.csv",
+              "weights/flagship_f16/train_log.csv"):
+        try:
+            with open(p) as f:
+                last = None
+                for last in csv.DictReader(f):
+                    pass
+            if last:
+                return int(float(last["step"]))
+        except (OSError, KeyError, ValueError):
+            continue
+    try:
+        with open("weights/flagship_f16/snapshot.json") as f:
+            return int(json.load(f)["step"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", default="results/quality_r4")
+    ap.add_argument("--out", default="QUALITY.md")
+    ap.add_argument("--train_scenes", type=int, default=None)
+    args = ap.parse_args()
+
+    sections = []
+    for spp in (4, 8, 16, 32):
+        path = os.path.join(args.results, "metrics_%dspp.csv" % spp)
+        if not os.path.exists(path):
+            continue
+        methods, agg, n = read_metrics(path)
+        if not methods:
+            continue
+        sections.append(
+            "## Held-out results, %d scenes, %d spp input "
+            "(%s)\n\n%s\n\n%s" % (n, spp, path, table(methods, agg),
+                                  verdict_line(agg)))
+    if not sections:
+        print("no metrics CSVs under %s; QUALITY.md untouched"
+              % args.results)
+        return
+
+    steps = trained_steps()
+    ntrain = args.train_scenes
+    if ntrain is None:
+        try:
+            ntrain = len([d for d in os.listdir(".qrun/train")
+                          if d.startswith("scene_")])
+        except OSError:
+            ntrain = None
+
+    head = [
+        "# Quality evidence (round 4, measured on the TPU chip)",
+        "",
+        "Protocol: mesh+texture+envmap corpus from the native wavefront "
+        "tracer (`scripts/generate_training_data.py --renderer wavefront "
+        "--obj_dir/--tex_dir/--env_dir`), %s train scenes, held-out test "
+        "scenes at gt 512 spp; flagship Multisteps config (ksize 21, "
+        "randomized 2..8 spp)%s; evaluated by `scripts/eval_suite.py` "
+        "(tonemapped PSNR / relMSE / DSSIM + the reference's linear-"
+        "radiance metric set, 21-px border pad — sbmc/evaluation.py "
+        "protocol). LBF and KPCN columns are trained on-chip on the same "
+        "corpus this window." % (
+            ntrain if ntrain is not None else "(see driver log)",
+            (", trained to step %d" % steps) if steps else ""),
+        "",
+    ]
+    body = "\n".join(head) + "\n" + "\n\n".join(sections) + "\n"
+
+    history = ""
+    try:
+        with open(args.out) as f:
+            old = f.read()
+        if HISTORY_MARKER in old:
+            history = old.split(HISTORY_MARKER, 1)[1]
+        else:
+            # First run: demote the whole previous file to history.
+            history = "\n" + "\n".join(
+                ("## (history) " + ln[2:]) if ln.startswith("# ") else ln
+                for ln in old.splitlines()) + "\n"
+    except OSError:
+        pass
+
+    with open(args.out, "w") as f:
+        f.write(body + "\n" + HISTORY_MARKER + history)
+    print("wrote %s (%d section(s))" % (args.out, len(sections)))
+
+
+if __name__ == "__main__":
+    main()
