@@ -339,4 +339,21 @@ if [ ! -s results/bench_r4/bench_spp32_r4.json ] && \
     fi
     logln "spp32 bench rc=$?"
 fi
+
+# --- 10. harvest the window's evidence into the repo ---------------------------
+# Quality tables, A/B CSVs, bench rungs and weight snapshots are committed
+# by their own phases; this catches the rest (timings, ladder output,
+# train-throughput logs) so the round's measurements survive the VM.
+mkdir -p results/r4_logs
+cp -f "$LOG/real_frame.log" results/r4_logs/ 2>/dev/null
+cp -f "$LOG/tpu_session.log" results/r4_logs/ 2>/dev/null
+cp -f "$LOG/driver.log" results/r4_logs/ 2>/dev/null
+tail -c 200000 "$LOG/train.log" > results/r4_logs/train_tail.log 2>/dev/null
+tail -c 100000 "$LOG/datagen.log" > results/r4_logs/datagen_tail.log \
+    2>/dev/null
+cp -f "$QDIR/ckpt/train_log.csv" results/r4_logs/flagship_train_log.csv \
+    2>/dev/null
+git add results/r4_logs >> "$LOG/driver.log" 2>&1
+git commit -q -m "Round-4 window evidence: timing, ladder, and train logs" \
+    >> "$LOG/driver.log" 2>&1 || true
 logln "takeover queue complete"
