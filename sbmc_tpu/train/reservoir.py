@@ -29,6 +29,16 @@ Randomized sample count (the reference MultiSampleCountDataset role) is
 drawn on device: per item k ~ U{lo..hi} and samples >= k are masked out of
 ``sample_mask`` — numerically identical to training on fewer samples
 (masked samples contribute exactly zero; see tests/test_train.py).
+
+**Scope: single-device by design.** Under a data-parallel mesh the
+trainer keeps the host loader (scripts/train.py logs this): the mesh
+path exists for multi-host pods where every process has its *own* host
+and NIC, so per-step host stacking is already parallel and the
+single-host bottleneck this reservoir removes does not exist there. A
+sharded reservoir (one slice per device, per-shard feeders, slot updates
+addressed through the sharding) would buy nothing on the 1-chip bench
+target while complicating the donation/in-place-update contract, so it
+is deliberately out of scope rather than unfinished.
 """
 
 import queue
