@@ -125,10 +125,26 @@ class ScalarLogCallback(Callback):
             return
         row = {"step": step}
         row.update({k: float(v) for k, v in metrics.items()})
+        # Wall-clock stamp so committed train logs carry steady-state
+        # step/s evidence (epoch seconds; consumers diff consecutive rows).
+        row["wall_time"] = time.time()
         new = not os.path.exists(self.path)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        if new:
+            keys = list(row.keys())
+        elif self._keys is not None:
+            keys = self._keys
+        else:
+            # Resuming an existing CSV (e.g. a warm-started checkpoint's
+            # log from before this column existed): match its header so
+            # appended rows stay aligned.
+            with open(self.path, newline="") as f:
+                header = f.readline().strip()
+            keys = header.split(",") if header else list(row.keys())
+        self._keys = keys
         with open(self.path, "a", newline="") as f:
-            writer = csv.DictWriter(f, fieldnames=list(row.keys()))
+            writer = csv.DictWriter(f, fieldnames=keys, restval="",
+                                    extrasaction="ignore")
             if new:
                 writer.writeheader()
             writer.writerow(row)

@@ -277,3 +277,39 @@ class TestUniformTileSPMD:
         np.testing.assert_allclose(
             merged[:, crop:-crop, crop:-crop],
             full, rtol=1e-3, atol=1e-3)
+
+
+class TestScalarLogCallback:
+    def test_new_csv_has_wall_time(self, tmp_path):
+        from sbmc_tpu.train import callbacks
+        p = str(tmp_path / "log.csv")
+        cb = callbacks.ScalarLogCallback(p, interval=1)
+        cb.batch_end(1, {"loss": 0.5, "input_loss": 0.7})
+        import csv as _csv
+        rows = list(_csv.DictReader(open(p)))
+        assert "wall_time" in rows[0]
+        assert float(rows[0]["wall_time"]) > 0
+        assert float(rows[0]["loss"]) == 0.5
+
+    def test_resume_keeps_legacy_header(self, tmp_path):
+        # Warm-started checkpoints carry train_log.csv files written
+        # before the wall_time column existed; appended rows must stay
+        # aligned with the legacy header.
+        from sbmc_tpu.train import callbacks
+        p = str(tmp_path / "log.csv")
+        with open(p, "w") as f:
+            f.write("step,input_loss,loss,rmse\n")
+            f.write("50,0.01,0.02,0.1\n")
+        cb = callbacks.ScalarLogCallback(p, interval=1)
+        cb.batch_end(100, {"input_loss": 0.011, "loss": 0.019,
+                           "rmse": 0.09})
+        import csv as _csv
+        rows = list(_csv.DictReader(open(p)))
+        assert len(rows) == 2
+        assert rows[1]["step"] == "100"
+        assert rows[1]["loss"] == "0.019"
+        assert "wall_time" not in rows[1] or rows[1]["wall_time"] is None
+        # Every data line has exactly the header's column count.
+        lines = open(p).read().strip().split("\n")
+        ncol = len(lines[0].split(","))
+        assert all(len(l.split(",")) == ncol for l in lines[1:])
