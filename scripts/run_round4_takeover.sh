@@ -26,7 +26,7 @@ SEG_SECONDS=${SEG_SECONDS:-2700}
 MAX_STEPS=${MAX_STEPS:-60000}
 RESERVOIR=${RESERVOIR:-192}
 AB_STEPS=${AB_STEPS:-600}
-AB_SECONDS=${AB_SECONDS:-1800}
+AB_SECONDS=${AB_SECONDS:-1500}
 LBF_SECONDS=${LBF_SECONDS:-1500}
 KPCN_SECONDS=${KPCN_SECONDS:-1500}
 EVAL_SECONDS=${EVAL_SECONDS:-2250}
@@ -198,7 +198,10 @@ else
 fi
 
 # --- 3. long flagship leg (fast config + health checks + rollback) --------
-TAIL_RESERVE=$(( LBF_SECONDS + KPCN_SECONDS + 2 * EVAL_SECONDS + 5400 ))
+# Tail cushion: real-frame 1800 + flagship bench 1500 + probe/commit slack
+# (the op ladder is opt-in now — see phase 7 — so its 2400s lives in the
+# training leg instead).
+TAIL_RESERVE=$(( LBF_SECONDS + KPCN_SECONDS + 2 * EVAL_SECONDS + 3900 ))
 if [ -n "$FAST_FLAGS" ]; then
     rm -rf "$QDIR/ckpt_backup"
     cp -r "$QDIR/ckpt" "$QDIR/ckpt_backup" 2>/dev/null
@@ -300,7 +303,11 @@ if [ ! -s "$LOG/real_frame.log" ] && [ -d "$QDIR/ckpt" ] && \
 fi
 
 # --- 7. op ladder (exp2 / staged-splat A/Bs) ----------------------------------
-if [ ! -s "$LOG/tpu_session.log" ] && [ "$(left_s)" -gt 2700 ]; then
+# Opt-in (RUN_LADDER=1): the 2026-08-19 window already measured every rung
+# (exp2 slower, staged/bf16-logit variants — PERF_TPU.md session 6); on a
+# wedge-shortened day the 2400s buys more in the training leg instead.
+if [ "${RUN_LADDER:-0}" = "1" ] && \
+   [ ! -s "$LOG/tpu_session.log" ] && [ "$(left_s)" -gt 2700 ]; then
     wait_healthy
     timeout 2400 python scripts/tpu_session.py --no-bench_model \
         > "$LOG/tpu_session.log" 2>&1
@@ -352,6 +359,10 @@ tail -c 200000 "$LOG/train.log" > results/r4_logs/train_tail.log 2>/dev/null
 tail -c 100000 "$LOG/datagen.log" > results/r4_logs/datagen_tail.log \
     2>/dev/null
 cp -f "$QDIR/ckpt/train_log.csv" results/r4_logs/flagship_train_log.csv \
+    2>/dev/null
+cp -f "$QDIR/ckpt_lbf/train_log.csv" results/r4_logs/lbf_train_log.csv \
+    2>/dev/null
+cp -f "$QDIR/ckpt_kpcn/train_log.csv" results/r4_logs/kpcn_train_log.csv \
     2>/dev/null
 git add results/r4_logs >> "$LOG/driver.log" 2>&1
 git commit -q -m "Round-4 window evidence: timing, ladder, and train logs" \
