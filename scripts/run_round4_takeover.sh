@@ -364,6 +364,9 @@ cp -f "$QDIR/ckpt_lbf/train_log.csv" results/r4_logs/lbf_train_log.csv \
     2>/dev/null
 cp -f "$QDIR/ckpt_kpcn/train_log.csv" results/r4_logs/kpcn_train_log.csv \
     2>/dev/null
+python scripts/plot_train_log.py "$QDIR/ckpt/train_log.csv" \
+    -o results/r4_logs/flagship_loss_curve.png >> "$LOG/driver.log" 2>&1 \
+    || true
 git add results/r4_logs >> "$LOG/driver.log" 2>&1
 git commit -q -m "Round-4 window evidence: timing, ladder, and train logs" \
     >> "$LOG/driver.log" 2>&1 || true
