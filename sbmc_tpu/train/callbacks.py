@@ -128,19 +128,32 @@ class ScalarLogCallback(Callback):
         # Wall-clock stamp so committed train logs carry steady-state
         # step/s evidence (epoch seconds; consumers diff consecutive rows).
         row["wall_time"] = time.time()
-        new = not os.path.exists(self.path)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        new = not os.path.exists(self.path) \
+            or os.path.getsize(self.path) == 0
         if new:
             keys = list(row.keys())
         elif self._keys is not None:
             keys = self._keys
         else:
             # Resuming an existing CSV (e.g. a warm-started checkpoint's
-            # log from before this column existed): match its header so
-            # appended rows stay aligned.
+            # log from an older build): keep its row order, but extend the
+            # header with any new columns by rewriting the file once (old
+            # rows pad with ""), so new evidence columns (wall_time,
+            # input_loss) are not silently dropped on warm starts.
             with open(self.path, newline="") as f:
-                header = f.readline().strip()
-            keys = header.split(",") if header else list(row.keys())
+                reader = csv.DictReader(f)
+                old_keys = list(reader.fieldnames or [])
+                missing = [k for k in row if k not in old_keys]
+                if old_keys and missing:
+                    old_rows = list(reader)
+            keys = (old_keys + missing) if old_keys \
+                else list(row.keys())
+            if old_keys and missing:
+                with open(self.path, "w", newline="") as f:
+                    writer = csv.DictWriter(f, fieldnames=keys, restval="")
+                    writer.writeheader()
+                    writer.writerows(old_rows)
         self._keys = keys
         with open(self.path, "a", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=keys, restval="",

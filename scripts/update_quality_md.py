@@ -68,8 +68,12 @@ def table(methods, agg):
              "|---|" + "---|" * len(COLS)]
     best = {}
     for suf, _, hi in COLS:
-        vals = {m: agg[m][suf] for m in methods if m != "input"}
-        best[suf] = (max if hi else min)(vals, key=vals.get)
+        # NaN means (missing metric column) must not win: max()/min() over
+        # NaN is order-dependent.
+        vals = {m: agg[m][suf] for m in methods
+                if m != "input" and agg[m][suf] == agg[m][suf]}
+        best[suf] = (max if hi else min)(vals, key=vals.get) if vals \
+            else None
     for m in methods:
         cells = []
         for suf, _, _ in COLS:
@@ -84,6 +88,8 @@ def verdict_line(agg):
     if "ours" not in agg or "nfor" not in agg:
         return ""
     d = agg["ours"]["psnr"] - agg["nfor"]["psnr"]
+    if d != d:  # either mean is NaN: no honest verdict to print
+        return ""
     if d >= 0:
         return ("**SBMC beats NFOR by %.2f dB PSNR** (the reference's "
                 "headline ordering, its Makefile:179-199 protocol)." % d)

@@ -291,10 +291,11 @@ class TestScalarLogCallback:
         assert float(rows[0]["wall_time"]) > 0
         assert float(rows[0]["loss"]) == 0.5
 
-    def test_resume_keeps_legacy_header(self, tmp_path):
+    def test_resume_extends_legacy_header(self, tmp_path):
         # Warm-started checkpoints carry train_log.csv files written
-        # before the wall_time column existed; appended rows must stay
-        # aligned with the legacy header.
+        # before the wall_time column existed; the resume must extend the
+        # header (padding old rows) instead of silently dropping the new
+        # evidence columns forever (round-4 advisor finding).
         from sbmc_tpu.train import callbacks
         p = str(tmp_path / "log.csv")
         with open(p, "w") as f:
@@ -306,9 +307,24 @@ class TestScalarLogCallback:
         import csv as _csv
         rows = list(_csv.DictReader(open(p)))
         assert len(rows) == 2
+        assert rows[0]["step"] == "50"
+        assert rows[0]["wall_time"] == ""        # padded legacy row
         assert rows[1]["step"] == "100"
         assert rows[1]["loss"] == "0.019"
-        assert "wall_time" not in rows[1] or rows[1]["wall_time"] is None
+        assert float(rows[1]["wall_time"]) > 0   # new column survives
+
+    def test_existing_empty_file_gets_header(self, tmp_path):
+        # A zero-byte log (touch / crashed run) must be treated as new:
+        # appending headerless rows breaks every DictReader consumer
+        # (judge_ab.py, plot_train_log.py).
+        from sbmc_tpu.train import callbacks
+        p = str(tmp_path / "log.csv")
+        open(p, "w").close()
+        cb = callbacks.ScalarLogCallback(p, interval=1)
+        cb.batch_end(1, {"loss": 0.5})
+        import csv as _csv
+        rows = list(_csv.DictReader(open(p)))
+        assert rows and rows[0]["loss"] == "0.5"
         # Every data line has exactly the header's column count.
         lines = open(p).read().strip().split("\n")
         ncol = len(lines[0].split(","))
