@@ -1,0 +1,320 @@
+#!/bin/bash
+# Round-5 session driver: the six round-4 window drivers consolidated
+# into one parameterized, phase-addressable script (round-4 VERDICT
+# item 7). Operational knowledge carried over:
+#   * every phase is probe-gated (wait_healthy): a wedged tunnel costs
+#     probe sleeps, not phase timeouts;
+#   * train segments run under a row-growth watchdog (WEDGE_GRACE) and
+#     are killed by PID, never by pattern;
+#   * phases are idempotent (marker files / output presence) and commit
+#     their own evidence with explicit pathspecs at their boundary
+#     (round-4 lost its final leg to judgment timing; round-4 ADVICE
+#     flagged the bare `git commit` sweep);
+#   * the 1080p real-frame render uses --start_index 200000 so the
+#     held-out frame is seed-disjoint from every training scene
+#     (round-4 ADVICE medium finding).
+#
+# Usage:
+#   UNTIL=$(date -d 'today 22:00' +%s) bash scripts/run_round5.sh <phase>...
+# Phases: ab flagship lbf kpcn eval4 eval8 frame1080 bench harvest
+# Or `all` for the whole queue in that order.
+set -u
+cd "${REPO:-$(dirname "$0")/..}"
+LOG=${LOG:-.hwlog}
+QDIR=${QDIR:-.qrun}
+UNTIL=${UNTIL:?set UNTIL (epoch seconds)}
+R=${R:-r5}
+
+AB_STEPS=${AB_STEPS:-600}
+AB_SECONDS=${AB_SECONDS:-2400}
+SEG_SECONDS=${SEG_SECONDS:-2400}
+MAX_STEPS=${MAX_STEPS:-60000}
+RESERVOIR=${RESERVOIR:-192}
+LR=${LR:-2e-4}
+LBF_SECONDS=${LBF_SECONDS:-1500}
+KPCN_SECONDS=${KPCN_SECONDS:-1500}
+EVAL_SECONDS=${EVAL_SECONDS:-2400}
+WEDGE_GRACE=${WEDGE_GRACE:-1200}
+PROBE_TIMEOUT=${PROBE_TIMEOUT:-120}
+PROBE_SLEEP=${PROBE_SLEEP:-600}
+SNAP_MIN_STEPS=${SNAP_MIN_STEPS:-1000}
+TAIL_RESERVE=${TAIL_RESERVE:-0}   # seconds the flagship phase must leave
+
+mkdir -p "$LOG" "$QDIR" weights "results/ab_$R" "results/quality_$R" \
+    "results/bench_$R" "results/${R}_logs"
+
+logln() { echo "$(date +%T) r5[$PHASE]: $*" >> "$LOG/driver.log"; }
+left_s() { echo $(( UNTIL - $(date +%s) )); }
+
+probe() {
+    timeout "$PROBE_TIMEOUT" python - <<'EOF'
+from sbmc_tpu.utils.platform import honor_env_platform; honor_env_platform()
+import jax, jax.numpy as jnp
+x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((256, 256)))
+assert float(x) == 256.0 ** 3, float(x)
+EOF
+}
+
+wait_healthy() {
+    until probe >> "$LOG/driver.log" 2>&1; do
+        if [ "$(left_s)" -le 0 ]; then
+            logln "window closed while waiting for the tunnel"; exit 0
+        fi
+        logln "tunnel wedged; sleeping ${PROBE_SLEEP}s"
+        sleep "$PROBE_SLEEP"
+    done
+}
+
+# watchdog_train <seconds> <logcsv> <outlog> <train.py args...>
+watchdog_train() {
+    local seconds="$1" logcsv="$2" outlog="$3"; shift 3
+    local deadline=$(( $(date +%s) + seconds ))
+    local rows0 lastgrow now rows
+    rows0=$(wc -l < "$logcsv" 2>/dev/null || echo 0)
+    lastgrow=$(date +%s)
+    python scripts/train.py "$@" >> "$outlog" 2>&1 &
+    local pid=$!
+    while kill -0 "$pid" 2>/dev/null; do
+        sleep 60
+        now=$(date +%s)
+        rows=$(wc -l < "$logcsv" 2>/dev/null || echo 0)
+        [ "$rows" -gt "$rows0" ] && { rows0=$rows; lastgrow=$now; }
+        if [ "$now" -ge "$deadline" ]; then
+            logln "watchdog: deadline; stopping $pid"
+            kill "$pid" 2>/dev/null; sleep 20; kill -9 "$pid" 2>/dev/null
+            wait "$pid" 2>/dev/null; return 124
+        fi
+        if [ $(( now - lastgrow )) -ge "$WEDGE_GRACE" ]; then
+            logln "watchdog: no log growth in ${WEDGE_GRACE}s; killing $pid"
+            kill "$pid" 2>/dev/null; sleep 20; kill -9 "$pid" 2>/dev/null
+            wait "$pid" 2>/dev/null; return 99
+        fi
+    done
+    wait "$pid"
+}
+
+snapshot_commit() {
+    [ -d "$QDIR/ckpt" ] || return 0
+    python scripts/export_params.py export "$QDIR/ckpt" \
+        weights/flagship_f16 >> "$LOG/driver.log" 2>&1 || return 0
+    cp -f "$QDIR/ckpt/train_log.csv" weights/flagship_f16/train_log.csv \
+        2>/dev/null
+    step=$(python -c "import json;print(json.load(open(
+        'weights/flagship_f16/snapshot.json'))['step'])" 2>/dev/null || echo 0)
+    last=$(cat "$LOG/.last_snap_step" 2>/dev/null || echo -999999)
+    if [ "${1:-}" != "force" ] && \
+       [ $(( step - last )) -lt "$SNAP_MIN_STEPS" ]; then
+        logln "snapshot exported (step $step), commit deferred"; return 0
+    fi
+    git add weights/flagship_f16 >> "$LOG/driver.log" 2>&1
+    git commit -q -m "Flagship weights snapshot (f16) at step $step" \
+        -- weights/flagship_f16 >> "$LOG/driver.log" 2>&1 \
+        && echo "$step" > "$LOG/.last_snap_step"
+}
+
+# One fresh-init attribution arm: ab_arm <name> <extra train.py flags...>
+ab_arm() {
+    local name="$1"; shift
+    local dir="$QDIR/ab5_$name"
+    [ -f "results/ab_$R/$name.csv" ] && { logln "ab $name done"; return 0; }
+    rm -rf "$dir"
+    wait_healthy
+    logln "A/B arm $name (${AB_STEPS} steps, ${AB_SECONDS}s cap)"
+    watchdog_train "$AB_SECONDS" "$dir/train_log.csv" "$LOG/ab_$name.log" \
+        "$QDIR/train" "$dir" --spp 8 --ksize 21 --bs 4 --lr "$LR" \
+        --max_steps "$AB_STEPS" --log_interval 25 \
+        --checkpoint_interval 100000 --num_worker_threads 4 "$@"
+    logln "ab $name rc=$?"
+    if [ -f "$dir/train_log.csv" ]; then
+        cp -f "$dir/train_log.csv" "results/ab_$R/$name.csv"
+        python scripts/judge_ab.py "results/ab_$R/$name.csv" --json \
+            > "results/ab_$R/$name.verdict.json" 2>>"$LOG/driver.log" \
+            || true
+        git add "results/ab_$R" >> "$LOG/driver.log" 2>&1
+        git commit -q -m "A/B arm $name: ${AB_STEPS}-step fresh-init run + verdict" \
+            -- "results/ab_$R" >> "$LOG/driver.log" 2>&1 || true
+    fi
+}
+
+phase_ab() {
+    ab_arm f32_host
+    ab_arm f32_reservoir --device_reservoir "$RESERVOIR" --trust_reservoir
+    ab_arm bf16_host --bf16 --trust_bf16
+}
+
+# Regime for the flagship leg: reservoir/bf16 only with a healthy A/B
+# verdict on file (beats_input true in the arm's verdict json).
+pick_flags() {
+    FAST_FLAGS=""
+    if python - <<EOF >> "$LOG/driver.log" 2>&1
+import json, sys
+v = json.load(open("results/ab_$R/f32_reservoir.verdict.json"))
+sys.exit(0 if v.get("healthy") or v.get("beats_input") else 1)
+EOF
+    then FAST_FLAGS="--device_reservoir $RESERVOIR --trust_reservoir"; fi
+    if python - <<EOF >> "$LOG/driver.log" 2>&1
+import json, sys
+v = json.load(open("results/ab_$R/bf16_host.verdict.json"))
+sys.exit(0 if v.get("healthy") or v.get("beats_input") else 1)
+EOF
+    then FAST_FLAGS="$FAST_FLAGS --bf16 --trust_bf16"; fi
+    logln "flagship regime: lr $LR ${FAST_FLAGS:-f32/host}"
+}
+
+phase_flagship() {
+    pick_flags
+    while [ "$(left_s)" -gt "$TAIL_RESERVE" ]; do
+        seg=$(( $(left_s) - TAIL_RESERVE ))
+        [ "$seg" -gt "$SEG_SECONDS" ] && seg=$SEG_SECONDS
+        [ "$seg" -lt 300 ] && break
+        wait_healthy
+        rows_before=$(wc -l < "$QDIR/ckpt/train_log.csv" 2>/dev/null || echo 1)
+        logln "flagship segment (${seg}s) [$FAST_FLAGS]"
+        watchdog_train "$seg" "$QDIR/ckpt/train_log.csv" "$LOG/train.log" \
+            "$QDIR/train" "$QDIR/ckpt" --spp 8 --ksize 21 --bs 4 \
+            --lr "$LR" --max_steps "$MAX_STEPS" $FAST_FLAGS \
+            --log_interval 25 --checkpoint_interval 250 \
+            --num_worker_threads 4
+        rc=$?
+        logln "segment rc=$rc"
+        # Health judge on the segment's own rows: a regressing segment
+        # demotes the fast config for the NEXT segment (checkpoint keeps
+        # the progress; judge_ab only gates config).
+        { head -1 "$QDIR/ckpt/train_log.csv";
+          tail -n +$(( rows_before + 1 )) "$QDIR/ckpt/train_log.csv"; } \
+            > "$LOG/.seg_rows.csv" 2>/dev/null
+        if [ -n "$FAST_FLAGS" ] && \
+           [ "$(wc -l < "$LOG/.seg_rows.csv")" -ge 5 ] && \
+           ! python scripts/judge_ab.py "$LOG/.seg_rows.csv" \
+                --beats_input_only --min_rows 4 --json \
+                >> "$LOG/driver.log" 2>&1; then
+            logln "fast config regressed mid-leg; demoting to f32/host"
+            FAST_FLAGS=""
+        fi
+        snapshot_commit
+        [ "$rc" -eq 0 ] && break
+    done
+    snapshot_commit force
+    cp -f "$QDIR/ckpt/train_log.csv" "results/${R}_logs/flagship_train_log.csv" \
+        2>/dev/null
+    git add "results/${R}_logs" >> "$LOG/driver.log" 2>&1
+    git commit -q -m "Flagship leg train log (round-5 window)" \
+        -- "results/${R}_logs" >> "$LOG/driver.log" 2>&1 || true
+}
+
+phase_lbf() {
+    [ -f "$QDIR/ckpt_lbf/train_log.csv" ] && return 0
+    wait_healthy
+    logln "lbf train (${LBF_SECONDS}s)"
+    watchdog_train "$LBF_SECONDS" "$QDIR/ckpt_lbf/train_log.csv" \
+        "$LOG/train_lbf.log" "$QDIR/train" "$QDIR/ckpt_lbf" \
+        --lbf_mode --spp 8 --bs 8 --max_steps 6000 --log_interval 50 \
+        --checkpoint_interval 250 --num_worker_threads 4
+    logln "lbf rc=$?"
+}
+
+phase_kpcn() {
+    [ -f "$QDIR/ckpt_kpcn/train_log.csv" ] && return 0
+    wait_healthy
+    logln "kpcn train (${KPCN_SECONDS}s)"
+    watchdog_train "$KPCN_SECONDS" "$QDIR/ckpt_kpcn/train_log.csv" \
+        "$LOG/train_kpcn.log" "$QDIR/train" "$QDIR/ckpt_kpcn" \
+        --kpcn_mode --spp 8 --bs 8 --max_steps 6000 --log_interval 50 \
+        --checkpoint_interval 250 --num_worker_threads 4
+    logln "kpcn rc=$?"
+}
+
+run_eval() {
+    local spp="$1"
+    LBF_FLAG=""
+    [ -f "$QDIR/ckpt_lbf/meta.json" ] && \
+        LBF_FLAG="--lbf_checkpoint $QDIR/ckpt_lbf"
+    [ -f "$QDIR/ckpt_kpcn/meta.json" ] && \
+        LBF_FLAG="$LBF_FLAG --kpcn_checkpoint $QDIR/ckpt_kpcn"
+    wait_healthy
+    logln "eval ${spp}spp (${EVAL_SECONDS}s)"
+    timeout "$EVAL_SECONDS" python scripts/eval_suite.py \
+        --data "$QDIR/test" --checkpoint "$QDIR/ckpt" \
+        --output "$QDIR/eval${spp}_$R" --spp "$spp" --tile_size 256 \
+        --tile_pad 0 --verbose $LBF_FLAG >> "$LOG/eval${spp}.log" 2>&1
+    logln "eval ${spp}spp rc=$?"
+    if [ -f "$QDIR/eval${spp}_$R/metrics.csv" ]; then
+        cp -f "$QDIR/eval${spp}_$R/metrics.csv" \
+            "results/quality_$R/metrics_${spp}spp.csv"
+        python scripts/update_quality_md.py >> "$LOG/driver.log" 2>&1 \
+            || true
+        git add "results/quality_$R" QUALITY.md >> "$LOG/driver.log" 2>&1
+        git commit -q -m "Held-out quality tables at ${spp}spp (round-5)" \
+            -- "results/quality_$R" QUALITY.md \
+            >> "$LOG/driver.log" 2>&1 || true
+    fi
+}
+
+phase_eval4() { run_eval 4; }
+phase_eval8() { run_eval 8; }
+
+phase_frame1080() {
+    # Seed-disjoint held-out 1080p frame: --start_index 200000 (ADVICE).
+    local SC="$QDIR/frame1080/scene_200000"
+    if [ "$(ls "$SC"/*.bin 2>/dev/null | wc -l)" -lt 135 ]; then
+        wait_healthy
+        logln "render 1920x1152 frame (seed 200000)"
+        timeout 3600 python scripts/generate_training_data.py - - - \
+            "$QDIR/frame1080" --renderer wavefront --count 1 --spp 4 \
+            --gt_spp 64 --width 1920 --height 1152 --tile_size 128 \
+            --start_index 200000 --verbose \
+            >> "$LOG/frame1080_render.log" 2>&1
+        logln "frame render rc=$? ($(ls "$SC"/*.bin 2>/dev/null | wc -l) tiles)"
+    fi
+    [ "$(ls "$SC"/*.bin 2>/dev/null | wc -l)" -ge 135 ] || return 0
+    wait_healthy
+    timeout 1200 python scripts/denoise.py \
+        --input "$QDIR/frame1080" --checkpoint "$QDIR/ckpt" \
+        --output "results/${R}_logs/frame1080.exr" --spp 4 \
+        --uniform_tiles --tile_size 384 --tile_pad 32 --verbose \
+        > "$LOG/frame1080_denoise.log" 2>&1
+    logln "frame denoise rc=$?"
+    cp -f "$LOG/frame1080_denoise.log" "results/${R}_logs/" 2>/dev/null
+    git add "results/${R}_logs" >> "$LOG/driver.log" 2>&1
+    git commit -q -m "Real-frame 1080p e2e denoise: EXR + timing (seed-disjoint)" \
+        -- "results/${R}_logs" >> "$LOG/driver.log" 2>&1 || true
+}
+
+phase_bench() {
+    wait_healthy
+    timeout 1500 python bench.py > "$LOG/bench_flagship.out" \
+        2> "$LOG/bench_flagship.err"
+    if [ -s "$LOG/bench_flagship.out" ]; then
+        tail -1 "$LOG/bench_flagship.out" \
+            > "results/bench_$R/bench_flagship_$R.json"
+        git add "results/bench_$R" >> "$LOG/driver.log" 2>&1
+        git commit -q -m "Live flagship 4spp bench rung (round-5 window)" \
+            -- "results/bench_$R" >> "$LOG/driver.log" 2>&1 || true
+    fi
+    logln "bench rc=$?"
+}
+
+phase_harvest() {
+    cp -f "$LOG/driver.log" "results/${R}_logs/" 2>/dev/null
+    tail -c 200000 "$LOG/train.log" > "results/${R}_logs/train_tail.log" \
+        2>/dev/null
+    for f in ckpt ckpt_lbf ckpt_kpcn; do
+        cp -f "$QDIR/$f/train_log.csv" \
+            "results/${R}_logs/${f}_train_log.csv" 2>/dev/null
+    done
+    python scripts/plot_train_log.py "$QDIR/ckpt/train_log.csv" \
+        -o "results/${R}_logs/flagship_loss_curve.png" \
+        >> "$LOG/driver.log" 2>&1 || true
+    git add "results/${R}_logs" >> "$LOG/driver.log" 2>&1
+    git commit -q -m "Round-5 window evidence harvest" \
+        -- "results/${R}_logs" >> "$LOG/driver.log" 2>&1 || true
+}
+
+PHASES="$*"
+[ "$PHASES" = "all" ] && \
+    PHASES="ab flagship lbf kpcn eval4 eval8 frame1080 bench harvest"
+for PHASE in $PHASES; do
+    logln "phase start (left $(left_s)s)"
+    "phase_$PHASE"
+    logln "phase end"
+done
