@@ -206,11 +206,18 @@ def main():
                         ks[3], (1, 3, th, tw)),
                     "kpcn_albedo": jax.random.uniform(ks[4], (1, 3, th, tw)),
                 }
+            # The feature stream is generated in the conv compute dtype:
+            # in bf16 mode the model reads features as bf16 anyway, so a
+            # bf16-resident input halves the dominant synthetic-input HBM
+            # write (mirroring a bf16-resident tile stack; the loader
+            # already ships features half-precision, data/loader.py). The
+            # splat radiance path stays float32.
+            fdt = jnp.float32 if f32 else jnp.bfloat16
             return {
                 "radiance": jax.random.uniform(
                     ks[0], (1, SPP, 3, th, tw)),
                 "features": jax.random.uniform(
-                    ks[1], (1, SPP, N_FEATURES, th, tw)),
+                    ks[1], (1, SPP, N_FEATURES, th, tw), dtype=fdt),
                 "global_features": jax.random.uniform(
                     ks[2], (1, N_GLOBAL, 1, 1)),
             }
@@ -321,7 +328,16 @@ def main():
 # 3-strip grid (1.2378 fps). Larger single tiles OOM at bf16
 # (1216x2048) and can crash the tunnel's remote compile helper (memory:
 # tpu-tunnel-behavior), so they are not laddered.
-_DEFAULT_LADDER = [((640, 2048), (50, 64)), ((1184, 1056), (52, 48)),
+# Rung order = preference order (_ladder_main returns the first rung
+# that runs). Geometry arithmetic (split_tiles_uniform: stride =
+# tile - 2*pad, ny = ceil((H - 2*py)/stride_y)): at 1080p with pad
+# (50, 64) the padded SINGLE tile (1080, 2048) covers the frame in one
+# dispatch at 1.066x processed pixels -- vs 1.26x for the previous
+# 2-strip (640, 2048) champion. Exact-cover rungs (stride dividing
+# 980 x 1792) follow, then the round-2/3 measured geometries as
+# fallbacks for OOM/regression.
+_DEFAULT_LADDER = [((1080, 2048), (50, 64)), ((1080, 1088), (50, 64)),
+                   ((640, 2048), (50, 64)), ((1184, 1056), (52, 48)),
                    ((1216, 768), (68, 64)), (768, 64), (512, 64), (256, 64)]
 
 # Variable-spp inference rungs (BASELINE.md: 8/16/32 spp). The per-tile
@@ -330,11 +346,20 @@ _DEFAULT_LADDER = [((640, 2048), (50, 64)), ((1184, 1056), (52, 48)),
 # footprint; widths stay multiples of 256 so the splat kernels' lane
 # tiling pads no columns.
 _SPP_LADDERS = {
-    8: [((640, 1024), (50, 64)), ((320, 2048), (50, 64)), (512, 64),
+    8: [((1080, 2048), (50, 64)), ((640, 2048), (50, 64)),
+        ((640, 1024), (50, 64)), ((320, 2048), (50, 64)), (512, 64),
         (256, 64)],
-    16: [((320, 1024), (50, 64)), ((640, 512), (50, 64)), (384, 64),
+    16: [((590, 1024), (50, 64)), ((640, 1024), (50, 64)),
+         ((320, 1024), (50, 64)), ((640, 512), (50, 64)), (384, 64),
          (256, 64)],
-    32: [((320, 512), (50, 64)), (256, 64), (192, 48)],
+    # 32 spp: the f32 sample stream capped tiles at 320x512 (1.98x
+    # processed px, the worst overlap of any rung -- round-4 VERDICT
+    # weak #4); the bf16 feature stream doubles the area budget, and
+    # exact-cover strides (490x896 | 980x1792) cut reprocessing to
+    # 1.17-1.31x.
+    32: [((590, 1024), (50, 64)), ((590, 576), (50, 64)),
+         ((370, 768), (50, 64)), ((320, 512), (50, 64)), (256, 64),
+         (192, 48)],
 }
 
 # KPCN's inputs are per-pixel (27ch, no per-sample stream), so a single

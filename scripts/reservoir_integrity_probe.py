@@ -91,7 +91,10 @@ def main():
     def compare_full(tag):
         ok = True
         for k, host in mirror.items():
-            dev = np.asarray(res._bufs[k])
+            # Chunked d2h: whole-buffer np.asarray over the axon tunnel
+            # aborts on ~40 MB arrays; per-slot slices are reliable.
+            dev = np.stack([np.asarray(res._bufs[k][s])
+                            for s in range(args.capacity)])
             if not np.array_equal(dev, host):
                 bad = np.argwhere(dev != host)
                 slot = int(bad[0][0])

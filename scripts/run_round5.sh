@@ -113,18 +113,30 @@ snapshot_commit() {
 }
 
 # One fresh-init attribution arm: ab_arm <name> <extra train.py flags...>
+# A wedge-killed attempt (too few rows for a verdict) retries up to 3
+# times; the arm resumes from its own checkpoint dir so completed steps
+# are never repaid.
 ab_arm() {
     local name="$1"; shift
     local dir="$QDIR/ab5_$name"
     [ -f "results/ab_$R/$name.csv" ] && { logln "ab $name done"; return 0; }
-    rm -rf "$dir"
-    wait_healthy
-    logln "A/B arm $name (${AB_STEPS} steps, ${AB_SECONDS}s cap)"
-    watchdog_train "$AB_SECONDS" "$dir/train_log.csv" "$LOG/ab_$name.log" \
-        "$QDIR/train" "$dir" --spp 8 --ksize 21 --bs 4 --lr "$LR" \
-        --max_steps "$AB_STEPS" --log_interval 25 \
-        --checkpoint_interval 100000 --num_worker_threads 4 "$@"
-    logln "ab $name rc=$?"
+    local want_rows=$(( AB_STEPS / 25 ))
+    local attempt rows
+    for attempt in 1 2 3; do
+        wait_healthy
+        logln "A/B arm $name attempt $attempt (${AB_STEPS} steps," \
+            "${AB_SECONDS}s cap)"
+        watchdog_train "$AB_SECONDS" "$dir/train_log.csv" \
+            "$LOG/ab_$name.log" "$QDIR/train" "$dir" \
+            --spp 8 --ksize 21 --bs 4 --lr "$LR" \
+            --max_steps "$AB_STEPS" --log_interval 25 \
+            --checkpoint_interval 200 --num_worker_threads 4 "$@"
+        logln "ab $name rc=$?"
+        rows=$(( $(wc -l < "$dir/train_log.csv" 2>/dev/null || echo 1) - 1 ))
+        [ "$rows" -ge $(( want_rows * 3 / 4 )) ] && break
+        [ "$(left_s)" -lt $(( AB_SECONDS + 600 )) ] && break
+        logln "ab $name: only $rows/$want_rows rows; retrying"
+    done
     if [ -f "$dir/train_log.csv" ]; then
         cp -f "$dir/train_log.csv" "results/ab_$R/$name.csv"
         python scripts/judge_ab.py "results/ab_$R/$name.csv" --json \
