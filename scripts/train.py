@@ -83,22 +83,12 @@ def main(args):
     if args.kpcn_mode and args.lbf_mode:
         raise SystemExit("--kpcn_mode and --lbf_mode are mutually exclusive")
 
-    if args.bf16 and not args.trust_bf16:
-        # bf16 TRAINING only became *possible* on 2026-08-19: until the
-        # WNConv2D transpose fix (preferred_element_type=f32 on a bf16
-        # conv fails to trace under grad), every --bf16 train step died
-        # with a TypeError at trace time, so no bf16 training run has
-        # ever produced a learning curve. bf16 remains the validated
-        # *inference* default (84.5 dB agreement vs f32 with trained
-        # weights — PERF_TPU.md); unattended long runs stay in the
-        # round-2-proven f32 regime until a --trust_bf16 A/B shows a
-        # healthy loss-vs-input_loss curve on chip.
-        log.warning("--bf16 requested: training in float32 instead (bf16 "
-                    "training has zero validated runs -- it could not even "
-                    "trace before the 2026-08-19 conv-transpose fix; pass "
-                    "--trust_bf16 to opt in and watch the input_loss "
-                    "column)")
-        args.bf16 = False
+    # bf16 TRAINING is validated as of the round-5 attribution A/B
+    # (results/ab_r5/bf16_host.verdict.json: 600-step fresh-init solo
+    # run, tail loss 0.0078 vs input 0.0420, healthy/improving) on top
+    # of the 2026-08-19 WNConv2D transpose fix that first made it
+    # traceable. --trust_bf16 is kept as an accepted no-op for driver
+    # compatibility; --bf16 now engages directly.
     if args.kpcn_mode:
         log.info("Model: KPCN (gather baseline, [Bako2017])")
         model_params = dict(n_in=data.num_features, ksize=args.ksize,
@@ -164,23 +154,18 @@ def main(args):
             os.path.join(args.checkpoint_dir, "viz")))
     trainer = Trainer(interface, cbs)
 
+    # The reservoir's on-chip learning curve is validated as of the
+    # round-5 attribution A/B (results/ab_r5/f32_reservoir.verdict.json:
+    # 600-step fresh-init solo run, tail loss 0.0057 vs input 0.0291,
+    # ~3-5x the host-loader step rate). The 2026-08-19 9000-step
+    # non-learning run that motivated the old --trust_reservoir guard is
+    # attributed to its confounds (concurrent datagen on the chip;
+    # f16-snapshot warm starts reset Adam moments), not the sampler —
+    # the donated in-place update/gather path is also bit-exact on chip
+    # up to 4.4 GiB (scripts/bigbuf_probe.py). --trust_reservoir is kept
+    # as an accepted no-op for driver compatibility.
     use_reservoir = (args.device_reservoir > 0 and mesh is None
                      and not args.kpcn_mode)
-    if use_reservoir and not args.trust_reservoir:
-        # The one long reservoir run so far (2026-08-19, f32 + reservoir —
-        # --bf16 could not engage, see above) never out-trained the
-        # trivial input mean over 9000 steps (probe: 0.031 vs 0.019 for
-        # the plain 8-spp mean on its own training tiles); the reservoir
-        # passes its CPU unit/A-B tests, but until an on-chip run shows a
-        # healthy declining loss under it, long unattended runs default to
-        # the round-2-proven host loader. Opt back in (e.g. for the
-        # attribution A/B itself) with --trust_reservoir.
-        log.warning("--device_reservoir requested: keeping the HOST loader "
-                    "(the 2026-08-19 9000-step f32+reservoir run never "
-                    "beat the input mean; pass --trust_reservoir to opt "
-                    "in while the reservoir's on-chip learning curve is "
-                    "still unvalidated)")
-        use_reservoir = False
     if args.device_reservoir > 0 and not use_reservoir and \
             (mesh is not None or args.kpcn_mode):
         log.info("--device_reservoir ignored (data-parallel mesh or kpcn "
@@ -257,13 +242,12 @@ if __name__ == "__main__":
                         "stack+upload cost; single-device sbmc/lbf only). "
                         "0 disables.")
     parser.add_argument("--trust_reservoir", action="store_true",
-                        help="allow --device_reservoir even though the "
-                        "reservoir's on-chip learning curve is not yet "
-                        "validated (see the warning in main).")
+                        help="accepted no-op: the reservoir is validated "
+                        "on chip (round-5 A/B, results/ab_r5) and is "
+                        "used whenever --device_reservoir is set.")
     parser.add_argument("--trust_bf16", action="store_true",
-                        help="allow bf16 TRAINING despite the 2026-08-19 "
-                        "non-learning run (for the attribution A/B; "
-                        "watch the input_loss column).")
+                        help="accepted no-op: bf16 training is validated "
+                        "on chip (round-5 A/B, results/ab_r5).")
     parser.add_argument("--no_cache_ram", dest="cache_ram",
                         action="store_false", default=True,
                         help="disable the RAM cache of preprocessed tiles "
