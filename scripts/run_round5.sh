@@ -27,7 +27,7 @@ R=${R:-r5}
 
 AB_STEPS=${AB_STEPS:-600}
 AB_SECONDS=${AB_SECONDS:-2400}
-SEG_SECONDS=${SEG_SECONDS:-2400}
+SEG_SECONDS=${SEG_SECONDS:-4800}
 MAX_STEPS=${MAX_STEPS:-60000}
 RESERVOIR=${RESERVOIR:-192}
 LR=${LR:-2e-4}
@@ -36,7 +36,7 @@ KPCN_SECONDS=${KPCN_SECONDS:-1500}
 EVAL_SECONDS=${EVAL_SECONDS:-2400}
 WEDGE_GRACE=${WEDGE_GRACE:-1200}
 PROBE_TIMEOUT=${PROBE_TIMEOUT:-120}
-PROBE_SLEEP=${PROBE_SLEEP:-600}
+PROBE_SLEEP=${PROBE_SLEEP:-240}
 SNAP_MIN_STEPS=${SNAP_MIN_STEPS:-1000}
 TAIL_RESERVE=${TAIL_RESERVE:-0}   # seconds the flagship phase must leave
 
@@ -56,6 +56,10 @@ EOF
 }
 
 wait_healthy() {
+    # Teardown grace: the axon tunnel serves one client at a time, and a
+    # just-exited training/export process holds its client for ~10-20 s;
+    # probing into that window reads as a wedge and costs a PROBE_SLEEP.
+    sleep 20
     until probe >> "$LOG/driver.log" 2>&1; do
         if [ "$(left_s)" -le 0 ]; then
             logln "window closed while waiting for the tunnel"; exit 0
@@ -95,7 +99,7 @@ watchdog_train() {
 
 snapshot_commit() {
     [ -d "$QDIR/ckpt" ] || return 0
-    python scripts/export_params.py export "$QDIR/ckpt" \
+    JAX_PLATFORMS=cpu python scripts/export_params.py export "$QDIR/ckpt" \
         weights/flagship_f16 >> "$LOG/driver.log" 2>&1 || return 0
     cp -f "$QDIR/ckpt/train_log.csv" weights/flagship_f16/train_log.csv \
         2>/dev/null
