@@ -193,6 +193,7 @@ def main(args):
                      args.num_epochs, max_steps)
         trainer.train_reservoir(state, reservoir, feeder=feeder,
                                 max_steps=max_steps,
+                                refresh_every=args.refresh_every,
                                 val_dataloader=val_loader)
     else:
         trainer.train(state, loader, num_epochs=args.num_epochs,
@@ -248,6 +249,15 @@ if __name__ == "__main__":
     parser.add_argument("--trust_bf16", action="store_true",
                         help="accepted no-op: bf16 training is validated "
                         "on chip (round-5 A/B, results/ab_r5).")
+    parser.add_argument("--refresh_every", type=int, default=2,
+                        help="refresh one reservoir slot every N steps. "
+                        "Each refresh stages a ~26 MB h2d transfer whose "
+                        "host staging memory the axon tunnel client does "
+                        "not promptly return (~25 MB/s RSS growth at "
+                        "refresh_every=1: the 2026-08-20 17:56 OOM kill "
+                        "at 130 GB after ~90 min). N=2 halves the leak "
+                        "rate; long runs should also be segmented with "
+                        "checkpoint resume (scripts/run_round5.sh).")
     parser.add_argument("--no_cache_ram", dest="cache_ram",
                         action="store_false", default=True,
                         help="disable the RAM cache of preprocessed tiles "
