@@ -118,7 +118,7 @@ def trained_steps():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--results", default="results/quality_r4")
+    ap.add_argument("--results", default="results/quality_r5")
     ap.add_argument("--out", default="QUALITY.md")
     ap.add_argument("--train_scenes", type=int, default=None)
     args = ap.parse_args()
@@ -150,7 +150,7 @@ def main():
             ntrain = None
 
     head = [
-        "# Quality evidence (round 4, measured on the TPU chip)",
+        "# Quality evidence (round 5, measured on the TPU chip)",
         "",
         "Protocol: mesh+texture+envmap corpus from the native wavefront "
         "tracer (`scripts/generate_training_data.py --renderer wavefront "
