@@ -66,17 +66,18 @@ def _vexp(x):
     return jnp.exp(x)
 
 
-# A/B experiment knob for the fused splat's tap loop: with
-# SBMC_PSF_STAGED=1 the row-max pass stages each lane-shifted logits
-# slice into an aligned VMEM scratch as it reads it, so the exp+FMA pass
-# re-reads the taps lane-aligned instead of re-slicing the halo buffer at
-# lane offsets dx in [0, k) — halving the misaligned reads on the
-# dominant stream. Every non-128-multiple lane offset costs a cross-lane
-# relayout on the VPU (the measured ~7 ms residual over the HBM bound at
-# k=21/4x512^2, PERF_TPU.md "residual-gap accounting"); whether the
-# staging round-trip through VMEM beats the second relayout is exactly
-# the A/B that scripts/tpu_session.py measures on chip.
-_USE_PSF_STAGED = bool(os.environ.get("SBMC_PSF_STAGED"))
+# Fused splat tap loop, staged variant (DEFAULT ON since the 2026-08-20
+# on-chip A/B): the row-max pass stages each lane-shifted logits slice
+# into an aligned VMEM scratch as it reads it, so the exp+FMA pass
+# re-reads the taps lane-aligned instead of re-slicing the halo buffer
+# at lane offsets dx in [0, k) — halving the misaligned reads on the
+# dominant stream (every non-128-multiple lane offset costs a cross-lane
+# VPU relayout). Measured at the 1080p/4spp headline tile: 1.6305 ->
+# 1.7107 frames/s (585.6 ms/frame, -29 ms — matching the ~7 ms/step
+# residual-gap accounting in PERF_TPU.md). SBMC_PSF_STAGED=0 opts back
+# out for A/Bs.
+_USE_PSF_STAGED = os.environ.get("SBMC_PSF_STAGED", "1") not in (
+    "0", "false", "")
 
 
 # v5e (and v4) cores have 128 MiB of VMEM, but the compiler's default
